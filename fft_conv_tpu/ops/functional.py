@@ -1,0 +1,301 @@
+"""FFT-domain convolution / transposed convolution — composed-XLA path.
+
+This is the correctness-reference implementation of the framework: pure
+``jnp.fft`` + ``jnp.einsum`` + ``jax.lax`` ops, fully jittable, differentiable
+via JAX AD, and shardable via pjit. The fused Pallas kernels
+(``fft_conv_tpu.kernels``) must match this path bit-tolerantly.
+
+Semantics match the reference exactly (cited per step):
+  - fft_conv:            /root/reference/fft_conv_pytorch/functional.py:19-89
+  - fft_conv_transpose:  /root/reference/fft_conv_pytorch/functional.py:92-176
+  - complex_matmul:      /root/reference/fft_conv_pytorch/functional.py:11-16
+
+TPU-first design notes (not a torch translation):
+  * Dilation zero-stuffing and transposed-conv signal stuffing use
+    ``lax.pad`` with *interior* padding — a single XLA op instead of the
+    reference's zero-alloc + strided scatter (functional.py:49-57, 126-139).
+  * Crop-and-stride uses a single strided ``lax.slice`` (static shapes).
+  * All shape arithmetic is static Python (see utils.shapes) so XLA sees
+    fixed shapes and can tile the frequency-domain contraction onto the MXU.
+  * bfloat16/float16 inputs are computed in float32 frequency domain
+    (complex64) and cast back — FFT twiddle accuracy requires fp32.
+"""
+
+from functools import partial
+from typing import Iterable, Optional, Union
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..utils.shapes import (
+    conv_transpose_output_shape,
+    dilated_size,
+    fft_even_shape,
+    to_ntuple,
+)
+
+IntOrTuple = Union[int, Iterable[int]]
+
+# torch F.pad vocabulary -> jnp.pad vocabulary. Accept both spellings.
+_PAD_MODES = {
+    "constant": "constant",
+    "zeros": "constant",
+    "reflect": "reflect",
+    "replicate": "edge",
+    "edge": "edge",
+    "circular": "wrap",
+    "wrap": "wrap",
+}
+
+
+def _complex_dtype(real_dtype) -> jnp.dtype:
+    return jnp.complex128 if real_dtype == jnp.float64 else jnp.complex64
+
+
+def complex_matmul(
+    a: jax.Array,
+    b: jax.Array,
+    groups: int = 1,
+    precision=lax.Precision.HIGHEST,
+) -> jax.Array:
+    """Per-frequency-bin grouped channel contraction.
+
+    ``a``: (B, Cin, *freq) complex, ``b``: (Cout, Cin/groups, *freq) complex.
+    Returns (B, Cout, *freq). Equivalent to the reference einsum
+    ``bgi...,goi...->bgo...`` (functional.py:11-16). Each frequency bin is an
+    independent (B, Cin/g) @ (Cin/g, Cout/g) complex matmul; XLA lowers the
+    complex dot to real MXU matmuls and tiles the freq axes onto lanes.
+
+    ``precision`` defaults to HIGHEST: the TPU MXU's default bf16 passes give
+    ~1e-2 error on fp32 spectra, far outside the 5e-5/1e-4 accuracy bar
+    (reference benchmark_utils.py:53-57); full-f32 accumulation restores it.
+    """
+    batch = a.shape[0]
+    a = a.reshape(batch, groups, a.shape[1] // groups, *a.shape[2:])
+    b = b.reshape(groups, b.shape[0] // groups, b.shape[1], *b.shape[2:])
+    out = jnp.einsum("bgi...,goi...->bgo...", a, b, precision=precision)
+    return out.reshape(batch, groups * out.shape[2], *out.shape[3:])
+
+
+# Per-bin matmuls smaller than this run as a VPU multiply+reduce, which XLA
+# fuses straight into the surrounding FFTs (bandwidth-optimal for the small
+# channel counts typical of FFT-conv workloads). Larger contractions use the
+# MXU einsum in ``complex_matmul``.
+_MXU_CONTRACT_THRESHOLD = 4096
+
+
+def _spectral_contract(sig_fr: jax.Array, ker_fr: jax.Array, groups: int) -> jax.Array:
+    """Grouped per-frequency-bin contraction, TPU-shape aware.
+
+    Math identical to ``complex_matmul`` (reference functional.py:11-16).
+    Two lowerings:
+      * tiny channels — broadcast multiply + sum over Cin/g on the VPU; XLA
+        fuses it with rfft/irfft, so spectra never round-trip HBM twice.
+      * large channels — MXU einsum, fenced with ``optimization_barrier``:
+        XLA:TPU pathologically hangs (>9 min compile) when it tries to fuse a
+        524k-batch dot into 2^20-point FFTs; the barrier keeps the dot a
+        standalone op (measured: full pipeline then compiles in ~9 s).
+    """
+    batch, cin = sig_fr.shape[0], sig_fr.shape[1]
+    cout = ker_fr.shape[0]
+    cin_g, cout_g = cin // groups, cout // groups
+    freq = sig_fr.shape[2:]
+    if batch * cin_g * cout_g <= _MXU_CONTRACT_THRESHOLD:
+        a = sig_fr.reshape(batch, groups, 1, cin_g, *freq)
+        b = ker_fr.reshape(1, groups, cout_g, cin_g, *freq)
+        return jnp.sum(a * b, axis=3).reshape(batch, cout, *freq)
+    a, b = lax.optimization_barrier((sig_fr, ker_fr))
+    out = complex_matmul(a, b, groups=groups)
+    return lax.optimization_barrier(out)
+
+
+def _dilate_kernel(kernel: jax.Array, dilation) -> jax.Array:
+    """Zero-stuff the kernel's spatial dims: size (k-1)*d + 1, taps at step d.
+
+    Matches reference functional.py:49-57 via XLA interior padding.
+    """
+    if all(d == 1 for d in dilation):
+        return kernel
+    config = [(0, 0, 0), (0, 0, 0)] + [(0, 0, d - 1) for d in dilation]
+    return lax.pad(kernel, jnp.zeros((), kernel.dtype), config)
+
+
+def _pad_signal(signal: jax.Array, padding, padding_mode: str) -> jax.Array:
+    """Symmetric spatial padding (reference functional.py:60-62)."""
+    if all(p == 0 for p in padding):
+        return signal
+    mode = _PAD_MODES.get(padding_mode)
+    if mode is None:
+        raise ValueError(f"Unsupported padding_mode: {padding_mode!r}")
+    pad_width = [(0, 0), (0, 0)] + [(p, p) for p in padding]
+    return jnp.pad(signal, pad_width, mode=mode)
+
+
+def _freq_domain_conv(signal, kernel, fft_shape, groups):
+    """rfftn(signal) x conj(rfftn(kernel)) -> irfftn, the shared hot core.
+
+    Conjugating the kernel spectrum makes this cross-correlation, matching
+    torch's "convolution" convention (reference functional.py:68-75).
+    """
+    n = len(fft_shape)
+    axes = tuple(range(-n, 0))
+    in_dtype = signal.dtype
+    if in_dtype in (jnp.bfloat16, jnp.float16):
+        signal = signal.astype(jnp.float32)
+        kernel = kernel.astype(jnp.float32)
+    sig_fr = jnp.fft.rfftn(signal, s=fft_shape, axes=axes)
+    ker_fr = jnp.conj(jnp.fft.rfftn(kernel, s=fft_shape, axes=axes))
+    out_fr = _spectral_contract(sig_fr, ker_fr, groups)
+    out = jnp.fft.irfftn(out_fr, s=fft_shape, axes=axes)
+    return out.astype(in_dtype)
+
+
+def fft_conv(
+    signal: jax.Array,
+    kernel: jax.Array,
+    bias: Optional[jax.Array] = None,
+    stride: IntOrTuple = 1,
+    padding: IntOrTuple = 0,
+    dilation: IntOrTuple = 1,
+    groups: int = 1,
+    padding_mode: str = "constant",
+) -> jax.Array:
+    """N-d convolution via FFT; fast for large kernels.
+
+    Args match ``torch.nn.functional.conv{1,2,3}d`` plus ``padding_mode``:
+      signal: (B, Cin, *spatial); kernel: (Cout, Cin/groups, *k);
+      bias: (Cout,) or None.
+
+    Reference semantics: functional.py:19-89, step-for-step:
+    normalize args -> dilate kernel -> pad signal -> even-rounded circular
+    FFT -> per-bin grouped complex matmul -> inverse FFT -> crop valid
+    region with stride -> add bias.
+    """
+    n = signal.ndim - 2
+    return _fft_conv(
+        signal,
+        kernel,
+        bias,
+        to_ntuple(stride, n),
+        to_ntuple(padding, n),
+        to_ntuple(dilation, n),
+        int(groups),
+        padding_mode,
+    )
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def _fft_conv(signal, kernel, bias, stride_, padding_, dilation_, groups, padding_mode):
+    n = signal.ndim - 2
+    kernel = _dilate_kernel(kernel, dilation_)
+    signal = _pad_signal(signal, padding_, padding_mode)
+
+    # Even-rounded FFT length (reference functional.py:64-66): circular
+    # transform at ~signal length; the crop below never touches wraparound.
+    fft_shape = fft_even_shape(signal.shape[2:])
+    out = _freq_domain_conv(signal, kernel, fft_shape, groups)
+
+    # Crop to the valid region [0 : s - k + 1 : stride] (functional.py:76-82).
+    valid = [
+        signal.shape[2 + i] - kernel.shape[2 + i] + 1 for i in range(n)
+    ]
+    if any(v <= 0 for v in valid):
+        raise ValueError(
+            f"Kernel size can't be greater than actual input size: padded "
+            f"input spatial {signal.shape[2:]} vs (dilated) kernel "
+            f"{kernel.shape[2:]}"
+        )
+    out = lax.slice(
+        out,
+        start_indices=(0, 0) + (0,) * n,
+        limit_indices=out.shape[:2] + tuple(valid),
+        strides=(1, 1) + stride_,
+    )
+
+    if bias is not None:
+        out = out + bias.astype(out.dtype).reshape((1, -1) + (1,) * n)
+    return out
+
+
+def fft_conv_transpose(
+    signal: jax.Array,
+    kernel: jax.Array,
+    bias: Optional[jax.Array] = None,
+    stride: IntOrTuple = 1,
+    padding: IntOrTuple = 0,
+    output_padding: IntOrTuple = 0,
+    dilation: IntOrTuple = 1,
+    groups: int = 1,
+) -> jax.Array:
+    """N-d transposed convolution via FFT.
+
+    Args match ``torch.nn.functional.conv_transpose{1,2,3}d``:
+      signal: (B, Cin, *spatial); kernel: (Cin, Cout/groups, *k)
+      (transposed-conv weight convention); bias: (Cout,) or None.
+
+    Reference semantics: functional.py:92-176. Kernel flip + group transpose
+    turns transposed conv into a regular FFT correlation; signal interior
+    zero-stuffing implements stride-upsampling plus the left full-conv pad;
+    the ``padding`` argument *removes* border from the result.
+    """
+    n = signal.ndim - 2
+    return _fft_conv_transpose(
+        signal,
+        kernel,
+        bias,
+        to_ntuple(stride, n),
+        to_ntuple(padding, n),
+        to_ntuple(output_padding, n),
+        to_ntuple(dilation, n),
+        int(groups),
+    )
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def _fft_conv_transpose(
+    signal, kernel, bias, stride_, padding_, output_padding_, dilation_, groups
+):
+    n = signal.ndim - 2
+    k_spatial = kernel.shape[2:]
+
+    # Flip spatial taps and swap the (Cin, Cout/g) group layout to
+    # (Cout, Cin/g) — reference functional.py:109-114.
+    kernel = jnp.flip(kernel, axis=tuple(range(2, kernel.ndim)))
+    cin, cout_per_g = kernel.shape[0], kernel.shape[1]
+    kernel = kernel.reshape(groups, cin // groups, cout_per_g, *k_spatial)
+    kernel = jnp.swapaxes(kernel, 1, 2)
+    kernel = kernel.reshape(groups * cout_per_g, cin // groups, *k_spatial)
+
+    kernel = _dilate_kernel(kernel, dilation_)
+    k_dil = kernel.shape[2:]
+
+    # Interior-stuff the signal: size (s-1)*t + 1 + (k_dil-1), elements at
+    # offset k_dil-1 step t — reference functional.py:126-139 as one lax.pad.
+    zero = jnp.zeros((), signal.dtype)
+    config = [(0, 0, 0), (0, 0, 0)] + [
+        (k - 1, 0, t - 1) for k, t in zip(k_dil, stride_)
+    ]
+    signal_ = lax.pad(signal, zero, config)
+
+    # FFT length >= linear-conv length, rounded even (functional.py:143).
+    fft_shape = tuple(
+        (s + k) // 2 * 2 for s, k in zip(signal_.shape[2:], k_dil)
+    )
+    out_shape = conv_transpose_output_shape(
+        signal.shape[2:], k_spatial, stride_, padding_, output_padding_, dilation_
+    )
+
+    out = _freq_domain_conv(signal_, kernel, fft_shape, groups)
+
+    # Crop [p : out+p] per dim — padding removes border (functional.py:163-169).
+    out = lax.slice(
+        out,
+        start_indices=(0, 0) + tuple(padding_),
+        limit_indices=out.shape[:2]
+        + tuple(s + p for s, p in zip(out_shape, padding_)),
+    )
+
+    if bias is not None:
+        out = out + bias.astype(out.dtype).reshape((1, -1) + (1,) * n)
+    return out
