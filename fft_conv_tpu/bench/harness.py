@@ -1,0 +1,148 @@
+"""Benchmark & measurement harness — TPU equivalent of the reference's
+benchmark_utils (reference fft_conv_pytorch/benchmark_utils.py:12-63).
+
+Reference -> TPU mapping (SURVEY §5 tracing/profiling):
+  torch.cuda.synchronize()            -> jax.block_until_ready fencing
+  torch.cuda.memory_stats peak bytes  -> jax Device.memory_stats()
+  warm-up-dropping benchmark()        -> same protocol, plus a
+                                         chained-perturbation timing mode that
+                                         defeats async-dispatch/caching
+                                         artifacts observed through the TPU
+                                         tunnel (naive block_until_ready loops
+                                         report impossible sub-ms times).
+"""
+
+import gc
+import time
+from contextlib import contextmanager
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class Benchmark(NamedTuple):
+    mean: float
+    std: float
+
+    def __repr__(self):
+        return f"BenchmarkResult(mean: {self.mean:.3e}, std: {self.std:.3e})"
+
+    def __str__(self):
+        return f"({self.mean:.3e} ± {self.std:.3e}) s"
+
+
+def _device_peak_bytes() -> float:
+    """Peak device memory in GiB, 0.0 where the backend has no stats (CPU)."""
+    try:
+        stats = jax.devices()[0].memory_stats()
+        if stats:
+            return stats.get("peak_bytes_in_use", stats.get("bytes_in_use", 0)) / 2**30
+    except Exception:
+        pass
+    return 0.0
+
+
+@contextmanager
+def measure():
+    """Times a block with device fencing; records wall time + peak GiB.
+
+    Reference measure() (benchmark_utils.py:23-37) with CUDA sync/memory
+    swapped for JAX equivalents.
+    """
+    gc.collect()
+    jax.effects_barrier()
+    result = dict()
+    begin = time.perf_counter()
+    try:
+        yield result
+    finally:
+        jax.effects_barrier()
+    result["time"] = time.perf_counter() - begin
+    result["memory"] = _device_peak_bytes()
+
+
+def benchmark(
+    fn: Callable, *args, num_iterations: int = 10, **kwargs
+) -> Tuple[Benchmark, Benchmark]:
+    """Runs ``fn`` N times, drops iteration 0 as warm-up (compile), returns
+    (time, memory) Benchmarks. Reference benchmark_utils.py:39-50.
+
+    ``fn`` must block on its own result (or return a jax.Array, which we
+    block on here).
+    """
+    times, memory = [], []
+    for _ in range(num_iterations):
+        with measure() as r:
+            out = fn(*args, **kwargs)
+            if out is not None:
+                jax.block_until_ready(out)
+        times.append(r.get("time"))
+        memory.append(r.get("memory"))
+    return (
+        Benchmark(np.mean(times[1:]).item(), np.std(times[1:]).item()),
+        Benchmark(np.mean(memory[1:]).item(), np.std(memory[1:]).item()),
+    )
+
+
+def benchmark_chained(
+    fn: Callable,
+    signal: jax.Array,
+    *rest,
+    num_iterations: int = 16,
+    **kwargs,
+) -> Benchmark:
+    """Trustworthy steady-state timing for jitted ops.
+
+    Perturbs the first argument each iteration with a value derived from the
+    previous output, so no two dispatches are identical and the device must
+    serialize real work — naive identical-input loops through the TPU tunnel
+    report ~1000x-too-fast times (measured this session). The perturbation
+    (one scalar multiply-add on the input) is negligible next to the FFT
+    pipeline being timed.
+    """
+    out = fn(signal, *rest, **kwargs)
+    jax.block_until_ready(out)  # warm-up / compile
+    times = []
+    eps = jnp.asarray(1e-7, signal.dtype)
+    for i in range(num_iterations):
+        # data-dependent, value-varying input: defeats any result caching
+        sig_i = signal + eps * (i + 1) + jnp.real(out).ravel()[0] * 0
+        jax.block_until_ready(sig_i)
+        t0 = time.perf_counter()
+        out = fn(sig_i, *rest, **kwargs)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return Benchmark(np.mean(times).item(), np.std(times).item())
+
+
+def _assert_almost_equal(x, y) -> bool:
+    """Two-threshold accuracy bar (reference benchmark_utils.py:53-57)."""
+    abs_error = np.abs(np.asarray(x) - np.asarray(y))
+    assert abs_error.mean().item() < 5e-5
+    assert abs_error.max().item() < 1e-4
+    return True
+
+
+def _gcd(x: int, y: int) -> int:
+    """Reference benchmark_utils.py:60-63."""
+    while y:
+        x, y = y, x % y
+    return x
+
+
+def hbm_gbps(bytes_moved: int, seconds: float) -> float:
+    """Achieved HBM bandwidth for a measured op (roofline reporting)."""
+    return bytes_moved / seconds / 1e9 if seconds > 0 else float("inf")
+
+
+def fft_conv_bytes(signal_shape, kernel_shape, out_shape, dtype_bytes=4) -> int:
+    """Minimum HBM traffic of an ideally-fused FFT conv: read signal+kernel,
+    write output. The roofline denominator for GB/s reporting."""
+    total = (
+        int(np.prod(signal_shape))
+        + int(np.prod(kernel_shape))
+        + int(np.prod(out_shape))
+    )
+    return total * dtype_bytes
