@@ -1,0 +1,305 @@
+"""Fused 1D FFT convolution — Pallas TPU kernel.
+
+One VMEM-resident pipeline per (batch, block) grid cell:
+
+    load block -> forward four-step FFT (MXU matmuls) -> per-bin complex
+    MAC over in-channels (VPU) -> inverse FFT (MXU) -> write valid samples
+
+replacing the reference's three-HLO round trip rfftn -> complex_matmul ->
+irfftn (reference functional.py:68-75), whose intermediates traverse HBM
+~5x. Long signals are processed overlap-save: blocks of FFT size N overlap
+by K-1 samples; each cell emits V = N-K+1 valid outputs (cross-correlation
+keeps the FIRST V samples of the circular result).
+
+TPU-shaping decisions:
+  * FFT size N = N1*N2 (powers of two, N1 >= N2) with blocks laid out
+    (N1, Cin, N2): both FFT stages are single full-width MXU matmuls
+    (N1xN1) @ (N1 x Cin*N2) and (N1*Cin x N2) @ (N2xN2) — no batched small
+    matmuls, no in-kernel transposes or reshapes.
+  * Kernel spectra (precomputed once via kernels.fourstep, conjugated, in
+    the same scrambled bin order) stay VMEM-resident across all grid cells;
+    N is chosen so they fit a ~4 MiB budget.
+  * Real-input optimization: forward stage 1 and inverse stage 2 compute
+    only the live real/imag planes (2 matmuls instead of 4).
+  * f32 spectra with HIGHEST-precision matmuls: bf16 twiddles would blow
+    the 5e-5/1e-4 accuracy bar (reference benchmark_utils.py:53-57).
+
+Gradients: jax.custom_vjp. Backward of valid cross-correlation is itself a
+pair of FFT convs (SURVEY §3.4): dx = conv_transpose(dy, w), dw =
+corr(x^T, dy^T) — routed through the composed ops (ops/functional.py).
+"""
+
+import math
+from functools import lru_cache, partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops import functional as F
+from ..utils.shapes import next_pow2, to_ntuple
+from .fourstep import fft_factor_matrices, kernel_spectrum
+
+# ker spectra VMEM residency budget (bytes): Cout*Cin*N*8 must fit.
+_KER_VMEM_BUDGET = 4 * 2**20
+_FFT_SIZES = (2048, 4096, 8192, 16384)
+
+
+def fused_split(n: int) -> Tuple[int, int]:
+    """(N1, N2) with N2 = 128: keeps the minor dim at full lane width so
+    block layouts hit the native (8, 128) f32 tile and stage-2 matmuls
+    contract a full 128 dim on the MXU."""
+    if n % 128:
+        raise ValueError(f"fused FFT size must be a multiple of 128, got {n}")
+    return n // 128, 128
+
+
+def choose_fft_size(k: int, l_padded: int, cin: int, cout: int) -> Optional[int]:
+    """Largest candidate N with resident spectra in budget and V >= N2.
+
+    Returns None when no candidate works (caller falls back to the composed
+    path)."""
+    best = None
+    for n in _FFT_SIZES:
+        if cout * cin * n * 8 > _KER_VMEM_BUDGET:
+            break
+        _, n2 = fused_split(n)
+        v = ((n - k + 1) // n2) * n2 if n >= k else 0
+        if v >= n2:
+            best = n
+        if n >= 2 * l_padded:
+            break
+    return best
+
+
+@lru_cache(maxsize=None)
+def _factor_consts(n1: int, n2: int):
+    """Split re/im f32 DFT factor matrices (forward + inverse) as numpy."""
+    f1, f2, tw = fft_factor_matrices(n1, n2)
+    if1 = np.conj(f1) / n1
+    if2 = np.conj(f2) / n2
+    out = []
+    for m in (f1, f2, tw, if1, if2):
+        out.append(np.ascontiguousarray(m.real, np.float32))
+        out.append(np.ascontiguousarray(m.imag, np.float32))
+    return tuple(out)
+
+
+def _mm_left(m_re, m_im_or_none, x_re, x_im_or_none, precision):
+    """(N1,N1) complex @ (N1, C, N2) complex -> (re, im); None means zero."""
+    dn = (((1,), (0,)), ((), ()))
+    dot = partial(
+        lax.dot_general, dimension_numbers=dn,
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    re = dot(m_re, x_re)
+    im = None
+    if x_im_or_none is not None:
+        re = re - dot(m_im_or_none, x_im_or_none) if m_im_or_none is not None else re
+        im = dot(m_re, x_im_or_none)
+        if m_im_or_none is not None:
+            im = im + dot(m_im_or_none, x_re)
+    elif m_im_or_none is not None:
+        im = dot(m_im_or_none, x_re)
+    return re, im
+
+
+def _mm_right(x_re, x_im, m_re, m_im, precision):
+    """(N1, C, N2) complex @ (N2,N2) complex -> (re, im)."""
+    dn = (((2,), (0,)), ((), ()))
+    dot = partial(
+        lax.dot_general, dimension_numbers=dn,
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    re = dot(x_re, m_re) - dot(x_im, m_im)
+    im = dot(x_re, m_im) + dot(x_im, m_re)
+    return re, im
+
+
+def _make_kernel(n1, n2, cin, cout, v1, precision):
+    def body(
+        x_ref, kr_ref, ki_ref,
+        f1r, f1i, f2r, f2i, twr, twi, if1r, if1i, if2r, if2i,
+        out_ref,
+    ):
+        a = x_ref[0, 0]  # (N1, Cin, N2) real block
+
+        # forward stage 1 (real input: 2 matmuls)
+        br, bi = _mm_left(f1r[...], f1i[...], a, None, precision)
+        # twiddle (broadcast over channel dim)
+        tr = twr[...][:, None, :]
+        ti = twi[...][:, None, :]
+        cr = br * tr - bi * ti
+        ci = br * ti + bi * tr
+        # forward stage 2
+        dr, di = _mm_right(cr, ci, f2r[...], f2i[...], precision)
+
+        # per-bin complex MAC over Cin (kernel spectra pre-conjugated)
+        yr_parts = []
+        yi_parts = []
+        for o in range(cout):
+            kr_o = kr_ref[o]  # (N1, Cin, N2)
+            ki_o = ki_ref[o]
+            yr_parts.append(
+                jnp.sum(dr * kr_o - di * ki_o, axis=1, keepdims=True)
+            )
+            yi_parts.append(
+                jnp.sum(dr * ki_o + di * kr_o, axis=1, keepdims=True)
+            )
+        yr = jnp.concatenate(yr_parts, axis=1)  # (N1, Cout, N2)
+        yi = jnp.concatenate(yi_parts, axis=1)
+
+        # inverse stage 1 (contract k2)
+        er, ei = _mm_right(yr, yi, if2r[...], if2i[...], precision)
+        # conjugate twiddle
+        gr = er * tr + ei * ti
+        gi = ei * tr - er * ti
+        # inverse stage 2, real part only (2 matmuls)
+        dn = (((1,), (0,)), ((), ()))
+        dot = partial(
+            lax.dot_general, dimension_numbers=dn,
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        out_real = dot(if1r[...], gr) - dot(if1i[...], gi)  # (N1, Cout, N2)
+        out_ref[0, 0] = out_real[:v1]
+
+    return body
+
+
+@lru_cache(maxsize=None)
+def _fused_call(b, nblk, n1, n2, cin, cout, v1, precision, interpret):
+    """Builds the pallas_call for a given static configuration."""
+    n = n1 * n2
+    mat_spec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+    grid_spec = pl.GridSpec(
+        grid=(b, nblk),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, n1, cin, n2), lambda i, j: (i, j, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (cout, n1, cin, n2), lambda i, j: (0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (cout, n1, cin, n2), lambda i, j: (0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ] + [mat_spec() for _ in range(10)],
+        out_specs=pl.BlockSpec(
+            (1, 1, v1, cout, n2), lambda i, j: (i, j, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    flops_cell = 2 * n * (2 * n1 + 4 * n2 + 4 * n2 + 2 * n1) * (cin + cout) // 2
+    return pl.pallas_call(
+        _make_kernel(n1, n2, cin, cout, v1, precision),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, nblk, v1, cout, n2), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_cell * b * nblk,
+            bytes_accessed=(b * nblk * n * cin + b * nblk * v1 * n2 * cout) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+
+
+def _is_cpu() -> bool:
+    return jax.devices()[0].platform == "cpu"
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _fused_core(x_padded: jax.Array, kernel: jax.Array, n: int) -> jax.Array:
+    return _fused_forward(x_padded, kernel, n)
+
+
+def _fused_forward(x_padded, kernel, n):
+    b, cin, l_pad = x_padded.shape
+    cout, _, k = kernel.shape
+    n1, n2 = fused_split(n)
+    v = ((n - k + 1) // n2) * n2
+    v1 = v // n2
+    v_total = l_pad - k + 1
+    nblk = -(-v_total // v)
+
+    # overlapped blocks, laid out (B, nblk, N1, Cin, N2) for the MXU stages
+    need = (nblk - 1) * v + n
+    x_ext = jnp.pad(x_padded, ((0, 0), (0, 0), (0, need - l_pad)))
+    blocks = jnp.stack(
+        [lax.slice_in_dim(x_ext, i * v, i * v + n, axis=2) for i in range(nblk)],
+        axis=1,
+    )  # (B, nblk, Cin, N)
+    blocks = blocks.reshape(b, nblk, cin, n1, n2).transpose(0, 1, 3, 2, 4)
+
+    kr, ki = kernel_spectrum(kernel, n, n1, n2)
+    consts = [jnp.asarray(m) for m in _factor_consts(n1, n2)]
+
+    call = _fused_call(
+        b, nblk, n1, n2, cin, cout, v1,
+        jax.lax.Precision.HIGHEST, _is_cpu(),
+    )
+    out = call(blocks.astype(jnp.float32), kr, ki, *consts)
+    # (B, nblk, V1, Cout, N2) -> (B, Cout, nblk*V) -> crop
+    out = out.transpose(0, 3, 1, 2, 4).reshape(b, cout, nblk * v)
+    return lax.slice_in_dim(out, 0, v_total, axis=2)
+
+
+def _fused_fwd(x_padded, kernel, n):
+    return _fused_forward(x_padded, kernel, n), (x_padded, kernel)
+
+
+def _fused_bwd(n, residuals, g):
+    x_padded, kernel = residuals
+    # dx = full convolution of g with w == conv_transpose (SURVEY §3.4)
+    dx = F.fft_conv_transpose(g, kernel)
+    # dw[o,i,t] = sum_{b,s} g[b,o,s] x[b,i,s+t]: correlation with batch as
+    # the contraction channel
+    dw = F.fft_conv(
+        jnp.swapaxes(x_padded, 0, 1), jnp.swapaxes(g, 0, 1)
+    )
+    return dx, jnp.swapaxes(dw, 0, 1)
+
+
+_fused_core.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fft_conv1d_fused(
+    signal: jax.Array,
+    kernel: jax.Array,
+    bias: Optional[jax.Array] = None,
+    padding: int = 0,
+    padding_mode: str = "constant",
+) -> jax.Array:
+    """Fused-Pallas 1D FFT convolution (stride=1, dilation=1, groups=1).
+
+    Same semantics as ``ops.fft_conv(signal, kernel, bias, padding=padding)``
+    for the supported argument subset; raises ValueError otherwise. Falls
+    back to the composed path when no fused configuration fits (tiny
+    signals / huge channel counts) — use ``fft_conv`` directly for those.
+    """
+    if signal.ndim != 3 or kernel.ndim != 3:
+        raise ValueError("fft_conv1d_fused expects (B, Cin, L) and (Cout, Cin, K)")
+    padding_ = to_ntuple(padding, 1)
+    x = F._pad_signal(signal, padding_, padding_mode)
+    b, cin, l_pad = x.shape
+    cout, cin_k, k = kernel.shape
+    if cin_k != cin:
+        raise ValueError(f"kernel Cin {cin_k} != signal Cin {cin}")
+    if k > l_pad:
+        raise ValueError("Kernel size can't be greater than actual input size")
+
+    n = choose_fft_size(k, l_pad, cin, cout)
+    if n is None:
+        out = F.fft_conv(signal, kernel, None, padding=padding_,
+                         padding_mode=padding_mode)
+    else:
+        out = _fused_core(x.astype(jnp.float32), kernel.astype(jnp.float32), n)
+    if bias is not None:
+        out = out + bias.reshape(1, -1, 1)
+    return out.astype(signal.dtype)

@@ -1,0 +1,160 @@
+"""Fused Pallas kernel tests (interpret mode on CPU; real-TPU perf is
+bench.py's job).
+
+Strategy per SURVEY §4: forward parity of the fused kernel against BOTH the
+composed-XLA path and torch direct conv. Tolerances are scale-aware: fp32
+FFT error grows with output RMS (the composed path and the reference's own
+cuFFT path behave identically — measured this session: at output RMS ~56,
+composed-vs-torch max err is 6.3e-4), so thresholds scale by max(1, rms).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as TF
+
+from fft_conv_tpu import fft_conv
+from fft_conv_tpu.kernels.fourstep import (
+    four_step_fft,
+    four_step_ifft,
+    split_factors,
+)
+from fft_conv_tpu.kernels.fused1d import (
+    choose_fft_size,
+    fft_conv1d_fused,
+    fused_split,
+)
+
+
+def _assert_close_scaled(y, y_ref):
+    y = np.asarray(y)
+    y_ref = np.asarray(y_ref)
+    assert y.shape == y_ref.shape
+    scale = max(1.0, float(np.std(y_ref)))
+    err = np.abs(y - y_ref)
+    assert err.mean() < 5e-5 * scale, f"mean {err.mean():.3e} scale {scale:.1f}"
+    assert err.max() < 2e-4 * scale, f"max {err.max():.3e} scale {scale:.1f}"
+
+
+# ---------------------------------------------------------------- four-step
+@pytest.mark.parametrize("n1,n2", [(16, 128), (64, 64), (128, 128)])
+def test_four_step_matches_numpy_fft(n1, n2):
+    n = n1 * n2
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(n).astype(np.float32)
+    d = np.asarray(four_step_fft(jnp.asarray(x).astype(jnp.complex64), n1, n2))
+    x_ref = np.fft.fft(x)
+    # descramble: X[k1 + n1*k2] = d[k1, k2]
+    rec = np.empty(n, complex)
+    k1g, k2g = np.meshgrid(np.arange(n1), np.arange(n2), indexing="ij")
+    rec[(k1g + n1 * k2g).ravel()] = d.ravel()
+    rel = np.abs(rec - x_ref).max() / np.abs(x_ref).max()
+    assert rel < 1e-5
+
+
+def test_four_step_roundtrip():
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal(4096) + 1j * rng.standard_normal(4096)).astype(
+        np.complex64
+    )
+    d = four_step_fft(jnp.asarray(x), 32, 128)
+    xr = np.asarray(four_step_ifft(d, 32, 128))
+    assert np.abs(xr - x).max() < 1e-4
+
+
+def test_split_factors():
+    assert split_factors(16384) == (128, 128)
+    assert split_factors(8192) == (128, 64)
+    assert fused_split(8192) == (64, 128)
+    with pytest.raises(ValueError):
+        split_factors(1000)
+
+
+def test_choose_fft_size_policy():
+    assert choose_fft_size(3840, 32768, 8, 8) == 8192
+    assert choose_fft_size(128, 2**20, 3, 2) == 16384
+    # huge channel counts exceed the VMEM spectra budget -> no fused config
+    assert choose_fft_size(128, 2**20, 128, 128) is None
+
+
+# ---------------------------------------------------------------- fused conv
+CONFIGS = [
+    # (B, cin, cout, L, K, pad)
+    (2, 8, 8, 8192, 384, 0),
+    (1, 3, 2, 5000, 128, 64),
+    (2, 2, 4, 3000, 200, 0),
+    (1, 4, 4, 2100, 130, 10),   # multi-block with remainder
+    (2, 1, 1, 4096, 512, 0),    # single channel
+]
+
+
+@pytest.mark.parametrize("b,cin,cout,l,k,pad", CONFIGS)
+def test_fused_matches_torch(b, cin, cout, l, k, pad):
+    rng = np.random.default_rng(k + l)
+    sig = rng.standard_normal((b, cin, l)).astype(np.float32)
+    w = rng.standard_normal((cout, cin, k)).astype(np.float32)
+    bias = rng.standard_normal((cout,)).astype(np.float32)
+    y = fft_conv1d_fused(jnp.asarray(sig), jnp.asarray(w), jnp.asarray(bias),
+                         padding=pad)
+    y_ref = TF.conv1d(torch.tensor(sig), torch.tensor(w), torch.tensor(bias),
+                      padding=pad).numpy()
+    _assert_close_scaled(y, y_ref)
+
+
+@pytest.mark.parametrize("b,cin,cout,l,k,pad", CONFIGS[:3])
+def test_fused_matches_composed(b, cin, cout, l, k, pad):
+    """Bit-tolerance parity with the composed-XLA path (SURVEY §4)."""
+    rng = np.random.default_rng(k)
+    sig = rng.standard_normal((b, cin, l)).astype(np.float32)
+    w = rng.standard_normal((cout, cin, k)).astype(np.float32)
+    y = fft_conv1d_fused(jnp.asarray(sig), jnp.asarray(w), padding=pad)
+    y_ref = fft_conv(jnp.asarray(sig), jnp.asarray(w), padding=pad)
+    _assert_close_scaled(y, y_ref)
+
+
+def test_fused_gradients_match_composed():
+    """custom_vjp backward (pair of composed FFT convs) vs AD of composed."""
+    rng = np.random.default_rng(5)
+    sig = jnp.asarray(rng.standard_normal((2, 3, 2200)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((4, 3, 150)).astype(np.float32))
+
+    def loss_fused(s, w_):
+        return (fft_conv1d_fused(s, w_, padding=8) ** 2).mean()
+
+    def loss_composed(s, w_):
+        return (fft_conv(s, w_, padding=8) ** 2).mean()
+
+    gs, gw = jax.grad(loss_fused, argnums=(0, 1))(sig, w)
+    gs_ref, gw_ref = jax.grad(loss_composed, argnums=(0, 1))(sig, w)
+    _assert_close_scaled(gs, gs_ref)
+    _assert_close_scaled(gw, gw_ref)
+
+
+def test_fused_is_jittable():
+    rng = np.random.default_rng(6)
+    sig = jnp.asarray(rng.standard_normal((1, 2, 3000)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((2, 2, 128)).astype(np.float32))
+    y0 = fft_conv1d_fused(sig, w)
+    y1 = jax.jit(fft_conv1d_fused)(sig, w)
+    assert np.allclose(np.asarray(y0), np.asarray(y1), atol=1e-5)
+
+
+def test_fused_fallback_small_or_unsupported():
+    # channel counts too large for resident spectra -> composed fallback
+    rng = np.random.default_rng(7)
+    sig = jnp.asarray(rng.standard_normal((1, 64, 4096)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((64, 64, 128)).astype(np.float32))
+    y = fft_conv1d_fused(sig, w)
+    y_ref = fft_conv(sig, w)
+    _assert_close_scaled(y, y_ref)
+
+
+def test_fused_validation_errors():
+    with pytest.raises(ValueError):
+        fft_conv1d_fused(jnp.ones((1, 2, 100, 100)), jnp.ones((2, 2, 3)))
+    with pytest.raises(ValueError):
+        fft_conv1d_fused(jnp.ones((1, 2, 100)), jnp.ones((2, 3, 5)))
+    with pytest.raises(ValueError):
+        fft_conv1d_fused(jnp.ones((1, 1, 16)), jnp.ones((1, 1, 64)))
