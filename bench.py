@@ -13,8 +13,10 @@ vs_baseline  = value / 5.0 — fraction of the BASELINE.md target
                (">=5x speedup vs XLA direct conv for kernels >= 128
                elements on v5e"); >= 1.0 means target met.
 
-Timing uses chained-perturbation dispatch (bench/harness.py) — inputs vary
-per iteration so tunnel/async caching can't fake sub-real times.
+For each config the framework's time is the better of the composed-XLA path
+and the fused Pallas path (1D). Timing uses device-side fori-loop chaining
+(bench/harness.py benchmark_fori) — host-side per-dispatch timing through
+the TPU tunnel is unreliable (block_until_ready returns early).
 """
 
 import json
@@ -49,7 +51,8 @@ def main():
     import jax.numpy as jnp
 
     from fft_conv_tpu import fft_conv
-    from fft_conv_tpu.bench.harness import benchmark_chained
+    from fft_conv_tpu.bench.harness import benchmark_fori
+    from fft_conv_tpu.kernels.fused1d import fft_conv1d_fused
 
     platform = jax.devices()[0].platform
     rng = np.random.default_rng(0)
@@ -63,7 +66,7 @@ def main():
         (2, 512, 34),   # 1156 elements
         (3, 64, 8),     # 512 elements
     ]
-    iters = 8 if platform == "tpu" else 3
+    iters = 25 if platform == "tpu" else 3
 
     speedups = []
     details = []
@@ -76,20 +79,27 @@ def main():
         )
         bias = jnp.asarray(rng.standard_normal((8,)).astype(np.float32))
 
-        t_fft = benchmark_chained(
-            lambda s, w, b: fft_conv(s, w, b), sig, ker, bias,
-            num_iterations=iters,
-        )
-        t_direct = benchmark_chained(
+        t_fft = benchmark_fori(
+            fft_conv, sig, ker, bias, num_iterations=iters,
+        ).mean
+        best = "composed"
+        if ndim == 1:
+            t_fused = benchmark_fori(
+                fft_conv1d_fused, sig, ker, bias, num_iterations=iters,
+            ).mean
+            if t_fused < t_fft:
+                t_fft, best = t_fused, "fused"
+        t_direct = benchmark_fori(
             direct_conv_fn(ndim), sig, ker, bias, num_iterations=iters,
-        )
-        speedups.append(t_direct.mean / t_fft.mean)
+        ).mean
+        speedups.append(t_direct / t_fft)
         details.append(
             {
                 "config": f"{ndim}d_L{size}_K{k}",
-                "fft_ms": round(t_fft.mean * 1e3, 3),
-                "direct_ms": round(t_direct.mean * 1e3, 3),
-                "speedup": round(t_direct.mean / t_fft.mean, 2),
+                "fft_ms": round(t_fft * 1e3, 3),
+                "direct_ms": round(t_direct * 1e3, 3),
+                "speedup": round(t_direct / t_fft, 2),
+                "path": best,
             }
         )
         print(f"# {details[-1]}", file=sys.stderr)

@@ -1,0 +1,214 @@
+"""Benchmark driver: crossover curves of FFT conv vs direct conv on TPU.
+
+TPU-native counterpart of the reference CUDA sweep
+(reference doc/scripts/generate_benchmark_plot.py:125-199): same three
+configs (1D L=32768, 2D 512^2, 3D 64^3; B=2, 8->8 channels; :128-159), same
+measured quantities (wall time + peak device memory, mean±std with warm-up
+dropped), with two gaps fixed: raw numbers are written to JSON (the
+reference ships only a PNG), and the fused Pallas path is swept alongside
+the composed path where applicable.
+
+Methods: fft_conv (composed XLA), fft_conv_fused (Pallas, 1D only),
+fft_conv_transpose, naive_conv / naive_conv_transpose
+(lax.conv_general_dilated / conv_transpose — the XLA direct baselines).
+
+Run:  python -m fft_conv_tpu.bench.generate_benchmark_plot [--out DIR]
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+from functools import partial
+from typing import Callable, Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class BenchConfig:
+    """One sweep: mirrors reference generate_benchmark_plot.py:128-159."""
+
+    label: str
+    ndim: int
+    input_size: int
+    kernel_sizes: Tuple[int, ...]
+    batch_size: int = 2
+    in_channels: int = 8
+    out_channels: int = 8
+    num_iterations: int = 16
+
+
+CONFIGS = [
+    BenchConfig("1D", 1, 32768, (1, 256, 768, 1280, 1792, 2304, 2816, 3328, 3840)),
+    BenchConfig("2D", 2, 512, (1, 4, 10, 16, 22, 28, 34, 40, 46)),
+    BenchConfig("3D", 3, 64, (1, 2, 4, 6, 8)),
+]
+
+
+def _naive_conv(ndim):
+    from jax import jit, lax
+
+    spatial = "DHW"[3 - ndim:]
+    dn = ("NC" + spatial, "OI" + spatial, "NC" + spatial)
+
+    @jit
+    def f(sig, ker, bias):
+        out = lax.conv_general_dilated(
+            sig, ker, window_strides=(1,) * ndim, padding="VALID",
+            dimension_numbers=dn,
+        )
+        return out + bias.reshape((1, -1) + (1,) * ndim)
+
+    return f
+
+
+def _naive_conv_transpose(ndim):
+    from jax import jit, lax
+
+    spatial = "DHW"[3 - ndim:]
+    dn = ("NC" + spatial, "IO" + spatial, "NC" + spatial)
+
+    @jit
+    def f(sig, ker, bias):
+        out = lax.conv_transpose(
+            sig, ker, strides=(1,) * ndim, padding="VALID",
+            dimension_numbers=dn,
+        )
+        return out + bias.reshape((1, -1) + (1,) * ndim)
+
+    return f
+
+
+def _methods(ndim) -> Dict[str, Callable]:
+    import jax.numpy as jnp
+
+    from ..kernels.fused1d import fft_conv1d_fused, fft_conv_transpose1d_fused
+    from ..ops.functional import fft_conv, fft_conv_transpose
+
+    methods = {
+        "fft_conv": lambda s, k, b: fft_conv(s, k, b),
+        "fft_conv_transpose": lambda s, kt, b: fft_conv_transpose(s, kt, b),
+        "naive_conv": _naive_conv(ndim),
+        "naive_conv_transpose": _naive_conv_transpose(ndim),
+    }
+    if ndim == 1:
+        methods["fft_conv_fused"] = lambda s, k, b: fft_conv1d_fused(s, k, b)
+        methods["fft_conv_transpose_fused"] = (
+            lambda s, kt, b: fft_conv_transpose1d_fused(s, kt, b)
+        )
+    return methods
+
+
+def run_sweep(configs: Optional[List[BenchConfig]] = None) -> List[dict]:
+    import jax
+    import jax.numpy as jnp
+
+    from .harness import benchmark_fori, _device_peak_bytes
+
+    configs = configs or CONFIGS
+    platform = jax.devices()[0].platform
+    rng = np.random.default_rng(0)
+    rows = []
+    for cfg in configs:
+        methods = _methods(cfg.ndim)
+        for k in cfg.kernel_sizes:
+            sig = jnp.asarray(
+                rng.standard_normal(
+                    (cfg.batch_size, cfg.in_channels) + (cfg.input_size,) * cfg.ndim
+                ).astype(np.float32)
+            )
+            ker = jnp.asarray(
+                rng.standard_normal(
+                    (cfg.out_channels, cfg.in_channels) + (k,) * cfg.ndim
+                ).astype(np.float32)
+            )
+            ker_t = jnp.swapaxes(ker, 0, 1)
+            bias = jnp.asarray(
+                rng.standard_normal((cfg.out_channels,)).astype(np.float32)
+            )
+            for name, fn in methods.items():
+                arg_k = ker_t if "transpose" in name else ker
+                try:
+                    t = benchmark_fori(
+                        fn, sig, arg_k, bias,
+                        num_iterations=cfg.num_iterations,
+                    )
+                    rows.append(
+                        {
+                            "config": cfg.label,
+                            "method": name,
+                            "kernel_size": k,
+                            "time_mean_s": t.mean,
+                            "time_std_s": t.std,
+                            "peak_mem_gib": _device_peak_bytes(),
+                            "platform": platform,
+                        }
+                    )
+                    print(
+                        f"{cfg.label} k={k:5d} {name:22s} "
+                        f"{t.mean * 1e3:9.3f} ms ± {t.std * 1e3:.3f}"
+                    )
+                except Exception as e:  # keep sweeping (reference :192-193)
+                    print(f"{cfg.label} k={k} {name}: {type(e).__name__}: {e}")
+    return rows
+
+
+def plot(rows: List[dict], out_png: str) -> None:
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        print("matplotlib unavailable; skipping plot")
+        return
+    configs = sorted({r["config"] for r in rows})
+    fig, axes = plt.subplots(1, len(configs), figsize=(5 * len(configs), 4))
+    if len(configs) == 1:
+        axes = [axes]
+    for ax, cfg in zip(axes, configs):
+        for method in sorted({r["method"] for r in rows if r["config"] == cfg}):
+            pts = sorted(
+                (r["kernel_size"], r["time_mean_s"], r["time_std_s"])
+                for r in rows
+                if r["config"] == cfg and r["method"] == method
+            )
+            ks, means, stds = zip(*pts)
+            ax.errorbar(ks, means, yerr=stds, label=method, marker="o", ms=3)
+        ax.set_yscale("log")
+        ax.set_title(f"{cfg} execution time")
+        ax.set_xlabel("kernel size")
+        ax.set_ylabel("time (s)")
+        ax.legend(fontsize=7)
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=120)
+    print(f"wrote {out_png}")
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--out", default="doc")
+    parser.add_argument("--quick", action="store_true",
+                        help="3 kernel sizes per config, 6 iterations")
+    args = parser.parse_args()
+    configs = CONFIGS
+    if args.quick:
+        configs = [
+            dataclasses.replace(
+                c, kernel_sizes=c.kernel_sizes[:: max(1, len(c.kernel_sizes) // 3)],
+                num_iterations=6,
+            )
+            for c in CONFIGS
+        ]
+    os.makedirs(args.out, exist_ok=True)
+    rows = run_sweep(configs)
+    json_path = os.path.join(args.out, "benchmark_results.json")
+    with open(json_path, "w") as f:
+        json.dump(rows, f, indent=1)
+    print(f"wrote {json_path}")
+    plot(rows, os.path.join(args.out, "benchmark.png"))
+
+
+if __name__ == "__main__":
+    main()

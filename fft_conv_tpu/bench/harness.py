@@ -117,6 +117,49 @@ def benchmark_chained(
     return Benchmark(np.mean(times).item(), np.std(times).item())
 
 
+def benchmark_fori(
+    fn: Callable,
+    signal: jax.Array,
+    *rest,
+    num_iterations: int = 20,
+    **kwargs,
+) -> Benchmark:
+    """Device-side loop timing: the only trustworthy mode through the TPU
+    tunnel.
+
+    Through the axon tunnel, ``block_until_ready`` returns before XLA ops
+    actually execute (measured: "0.044 ms" for a 57-GFLOP conv — 1300
+    TFLOP/s on a ~200 TFLOP/s chip), so host-side per-dispatch timing is
+    meaningless. Here ``num_iterations`` calls run inside ONE jitted
+    ``lax.fori_loop`` whose carry makes iteration i+1's input depend on
+    iteration i's output (perturbed by out[0]*1e-30 — numerically
+    negligible, but a true dependency XLA cannot elide), and we time the
+    single dispatch end-to-end by fetching the scalar result to host.
+    Returns per-iteration time.
+    """
+    import jax.numpy as _jnp
+    from jax import lax as _lax
+
+    def loop(x, *r):
+        def body(_, carry):
+            x, acc = carry
+            out = fn(x, *r, **kwargs)
+            s = _jnp.real(out).ravel()[0]
+            return (x + s * 1e-30, acc + s)
+
+        _, acc = _lax.fori_loop(0, num_iterations, body, (x, 0.0))
+        return acc
+
+    looped = jax.jit(loop)
+    float(looped(signal, *rest))  # warm-up / compile
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(looped(signal, *rest))  # host fetch = real barrier
+        times.append((time.perf_counter() - t0) / num_iterations)
+    return Benchmark(float(np.min(times)), float(np.std(times)))
+
+
 def _assert_almost_equal(x, y) -> bool:
     """Two-threshold accuracy bar (reference benchmark_utils.py:53-57)."""
     abs_error = np.abs(np.asarray(x) - np.asarray(y))

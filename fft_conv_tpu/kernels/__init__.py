@@ -1,0 +1,15 @@
+from .fourstep import four_step_fft, four_step_ifft, kernel_spectrum
+from .fused1d import (
+    choose_fft_size,
+    fft_conv1d_fused,
+    fft_conv_transpose1d_fused,
+)
+
+__all__ = [
+    "fft_conv1d_fused",
+    "fft_conv_transpose1d_fused",
+    "choose_fft_size",
+    "four_step_fft",
+    "four_step_ifft",
+    "kernel_spectrum",
+]

@@ -24,6 +24,7 @@ torch.fft.rfftn (reference functional.py:6, 68-75).
 from functools import lru_cache
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -76,6 +77,41 @@ def four_step_ifft(d: jnp.ndarray, n1: int, n2: int) -> jnp.ndarray:
     return a.reshape(*d.shape[:-2], n1 * n2)
 
 
+def four_step_fft_real(
+    x: jnp.ndarray, n1: int, n2: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Scrambled DFT of a REAL last axis in split re/im f32 arithmetic.
+
+    No complex dtypes anywhere: the axon TPU runtime rejects complex
+    reshape/einsum at small shapes (UNIMPLEMENTED, observed this session),
+    and split-real is what the Pallas kernel uses anyway. Returns (re, im)
+    each shaped (..., n1, n2).
+    """
+    f1, f2, tw = fft_factor_matrices(n1, n2)
+    f1r = jnp.asarray(f1.real, jnp.float32)
+    f1i = jnp.asarray(f1.imag, jnp.float32)
+    f2r = jnp.asarray(f2.real, jnp.float32)
+    f2i = jnp.asarray(f2.imag, jnp.float32)
+    twr = jnp.asarray(tw.real, jnp.float32)
+    twi = jnp.asarray(tw.imag, jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
+
+    a = x.astype(jnp.float32).reshape(*x.shape[:-1], n1, n2)
+    br = jnp.einsum("ab,...bn->...an", f1r, a, precision=hi)
+    bi = jnp.einsum("ab,...bn->...an", f1i, a, precision=hi)
+    cr = br * twr - bi * twi
+    ci = br * twi + bi * twr
+    dr = (
+        jnp.einsum("...ab,bn->...an", cr, f2r, precision=hi)
+        - jnp.einsum("...ab,bn->...an", ci, f2i, precision=hi)
+    )
+    di = (
+        jnp.einsum("...ab,bn->...an", cr, f2i, precision=hi)
+        + jnp.einsum("...ab,bn->...an", ci, f2r, precision=hi)
+    )
+    return dr, di
+
+
 def kernel_spectrum(
     kernel: jnp.ndarray, n: int, n1: int, n2: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -88,7 +124,7 @@ def kernel_spectrum(
     """
     cout, cin, k = kernel.shape
     padded = jnp.pad(kernel.astype(jnp.float32), ((0, 0), (0, 0), (0, n - k)))
-    spec = four_step_fft(padded.astype(jnp.complex64), n1, n2)  # (Co, Ci, n1, n2)
-    spec = jnp.conj(spec)
-    spec = jnp.transpose(spec, (0, 2, 1, 3))  # (Cout, n1, Cin, n2)
-    return jnp.real(spec).astype(jnp.float32), jnp.imag(spec).astype(jnp.float32)
+    dr, di = four_step_fft_real(padded, n1, n2)  # (Co, Ci, n1, n2)
+    dr = jnp.transpose(dr, (0, 2, 1, 3))  # (Cout, n1, Cin, n2)
+    di = jnp.transpose(-di, (0, 2, 1, 3))  # conjugate
+    return dr, di

@@ -89,13 +89,56 @@ def _factor_consts(n1: int, n2: int):
     return tuple(out)
 
 
+# Fused-matmul precision mode:
+#   "highest" — native f32 dots (6 MXU passes each), reference accuracy
+#   "bf16x3"  — hi/lo bf16 split, 3 bf16 passes per dot (drops lo*lo):
+#               ~2x MXU throughput at near-f32 accuracy
+_PRECISION_MODE = "highest"
+
+
+def set_fused_precision(mode: str) -> None:
+    """Selects the fused kernel's matmul precision ("highest" | "bf16x3")."""
+    global _PRECISION_MODE
+    if mode not in ("highest", "bf16x3"):
+        raise ValueError(f"unknown fused precision mode: {mode!r}")
+    global_mode_changed = mode != _PRECISION_MODE
+    _PRECISION_MODE = mode
+    if global_mode_changed:
+        _fused_call.cache_clear()
+
+
+def _split_bf16(x):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot3(a, b, dn):
+    """f32-accurate dot from 3 bf16 MXU passes (a_hi*b_hi + a_hi*b_lo +
+    a_lo*b_hi; the dropped lo*lo term is below f32 rounding)."""
+    ah, al = _split_bf16(a)
+    bh, bl = _split_bf16(b)
+    d = partial(
+        lax.dot_general, dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+    )
+    return d(ah, bh) + d(ah, bl) + d(al, bh)
+
+
+def _dot(a, b, dn, precision):
+    if precision == "bf16x3":
+        return _dot3(a, b, dn)
+    return lax.dot_general(
+        a, b, dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )
+
+
 def _mm_left(m_re, m_im_or_none, x_re, x_im_or_none, precision):
     """(N1,N1) complex @ (N1, C, N2) complex -> (re, im); None means zero."""
     dn = (((1,), (0,)), ((), ()))
-    dot = partial(
-        lax.dot_general, dimension_numbers=dn,
-        preferred_element_type=jnp.float32, precision=precision,
-    )
+    dot = lambda a, b: _dot(a, b, dn, precision)  # noqa: E731
     re = dot(m_re, x_re)
     im = None
     if x_im_or_none is not None:
@@ -111,10 +154,7 @@ def _mm_left(m_re, m_im_or_none, x_re, x_im_or_none, precision):
 def _mm_right(x_re, x_im, m_re, m_im, precision):
     """(N1, C, N2) complex @ (N2,N2) complex -> (re, im)."""
     dn = (((2,), (0,)), ((), ()))
-    dot = partial(
-        lax.dot_general, dimension_numbers=dn,
-        preferred_element_type=jnp.float32, precision=precision,
-    )
+    dot = lambda a, b: _dot(a, b, dn, precision)  # noqa: E731
     re = dot(x_re, m_re) - dot(x_im, m_im)
     im = dot(x_re, m_im) + dot(x_im, m_re)
     return re, im
@@ -160,11 +200,10 @@ def _make_kernel(n1, n2, cin, cout, v1, precision):
         gi = ei * tr - er * ti
         # inverse stage 2, real part only (2 matmuls)
         dn = (((1,), (0,)), ((), ()))
-        dot = partial(
-            lax.dot_general, dimension_numbers=dn,
-            preferred_element_type=jnp.float32, precision=precision,
-        )
-        out_real = dot(if1r[...], gr) - dot(if1i[...], gi)  # (N1, Cout, N2)
+        out_real = (
+            _dot(if1r[...], gr, dn, precision)
+            - _dot(if1i[...], gi, dn, precision)
+        )  # (N1, Cout, N2)
         out_ref[0, 0] = out_real[:v1]
 
     return body
@@ -242,7 +281,7 @@ def _fused_forward(x_padded, kernel, n):
 
     call = _fused_call(
         b, nblk, n1, n2, cin, cout, v1,
-        jax.lax.Precision.HIGHEST, _is_cpu(),
+        _PRECISION_MODE, _is_cpu(),
     )
     out = call(blocks.astype(jnp.float32), kr, ki, *consts)
     # (B, nblk, V1, Cout, N2) -> (B, Cout, nblk*V) -> crop
@@ -303,3 +342,36 @@ def fft_conv1d_fused(
     if bias is not None:
         out = out + bias.reshape(1, -1, 1)
     return out.astype(signal.dtype)
+
+
+def fft_conv_transpose1d_fused(
+    signal: jax.Array,
+    kernel: jax.Array,
+    bias: Optional[jax.Array] = None,
+    padding: int = 0,
+) -> jax.Array:
+    """Fused-Pallas 1D transposed convolution (stride=1, dilation=1,
+    groups=1, output_padding=0 — torch requires output_padding <
+    max(stride, dilation) so 0 is the only legal value here).
+
+    A stride-1 transposed conv is the full correlation with the
+    spatially-flipped, (Cin,Cout)-swapped kernel (reference
+    functional.py:109-114), cropped by ``padding`` per side — so it rides
+    the same fused kernel with symmetric padding K-1.
+    """
+    if signal.ndim != 3 or kernel.ndim != 3:
+        raise ValueError(
+            "fft_conv_transpose1d_fused expects (B, Cin, L) and (Cin, Cout, K)"
+        )
+    cin, cout, k = kernel.shape
+    if signal.shape[1] != cin:
+        raise ValueError(f"kernel Cin {cin} != signal Cin {signal.shape[1]}")
+    if padding >= k:
+        raise ValueError(f"padding {padding} must be < kernel size {k}")
+    w = jnp.swapaxes(jnp.flip(kernel, axis=2), 0, 1)  # (Cout, Cin, K)
+    out = fft_conv1d_fused(signal, w, None, padding=k - 1)
+    out_len = signal.shape[2] + k - 1 - 2 * padding
+    out = lax.slice_in_dim(out, padding, padding + out_len, axis=2)
+    if bias is not None:
+        out = out + bias.reshape(1, -1, 1)
+    return out

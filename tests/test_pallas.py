@@ -24,6 +24,7 @@ from fft_conv_tpu.kernels.fourstep import (
 from fft_conv_tpu.kernels.fused1d import (
     choose_fft_size,
     fft_conv1d_fused,
+    fft_conv_transpose1d_fused,
     fused_split,
 )
 
@@ -149,6 +150,30 @@ def test_fused_fallback_small_or_unsupported():
     y = fft_conv1d_fused(sig, w)
     y_ref = fft_conv(sig, w)
     _assert_close_scaled(y, y_ref)
+
+
+@pytest.mark.parametrize("pad", [0, 3])
+def test_fused_transpose_matches_torch(pad):
+    rng = np.random.default_rng(11)
+    sig = rng.standard_normal((2, 3, 3000)).astype(np.float32)
+    w = rng.standard_normal((3, 4, 160)).astype(np.float32)  # (Cin, Cout, K)
+    bias = rng.standard_normal((4,)).astype(np.float32)
+    y = fft_conv_transpose1d_fused(
+        jnp.asarray(sig), jnp.asarray(w), jnp.asarray(bias), padding=pad
+    )
+    y_ref = TF.conv_transpose1d(
+        torch.tensor(sig), torch.tensor(w), torch.tensor(bias), padding=pad
+    ).numpy()
+    _assert_close_scaled(y, y_ref)
+
+
+def test_fused_transpose_validation():
+    with pytest.raises(ValueError):
+        fft_conv_transpose1d_fused(jnp.ones((1, 2, 100)), jnp.ones((3, 2, 5)))
+    with pytest.raises(ValueError):
+        fft_conv_transpose1d_fused(
+            jnp.ones((1, 2, 100)), jnp.ones((2, 3, 5)), padding=5
+        )
 
 
 def test_fused_validation_errors():
