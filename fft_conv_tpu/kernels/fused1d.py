@@ -46,7 +46,10 @@ from .fourstep import fft_factor_matrices, kernel_spectrum
 
 # ker spectra VMEM residency budget (bytes): Cout*Cin*N*8 must fit.
 _KER_VMEM_BUDGET = 4 * 2**20
-_FFT_SIZES = (2048, 4096, 8192, 16384)
+# N=16384 (N1=N2=128) is mathematically supported but its Mosaic compile
+# coincided with an axon-tunnel wedge this session — capped at 8192 until
+# revalidated on hardware.
+_FFT_SIZES = (2048, 4096, 8192)
 
 
 def fused_split(n: int) -> Tuple[int, int]:

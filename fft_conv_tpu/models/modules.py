@@ -46,6 +46,7 @@ class _FFTConvBase:
         "dilation",
         "groups",
         "padding_mode",
+        "impl",
     )
 
     def __init__(
@@ -61,6 +62,7 @@ class _FFTConvBase:
         bias: bool = True,
         padding_mode: str = "zeros",
         *,
+        impl: str = "auto",
         key: Optional[jax.Array] = None,
         dtype=jnp.float32,
     ):
@@ -89,6 +91,9 @@ class _FFTConvBase:
         self.dilation = to_ntuple(dilation, n)
         self.groups = int(groups)
         self.padding_mode = padding_mode
+        if impl not in ("auto", "xla", "fused"):
+            raise ValueError(f"unknown impl: {impl!r}")
+        self.impl = impl
 
         if self.transposed:
             weight_shape = (
@@ -181,6 +186,7 @@ class _FFTConvForward(_FFTConvBase):
             dilation=self.dilation,
             groups=self.groups,
             padding_mode=padding_mode,
+            impl=self.impl,
         )
 
 
@@ -204,6 +210,7 @@ class _FFTConvTransposeForward(_FFTConvBase):
             output_padding=self.output_padding,
             dilation=self.dilation,
             groups=self.groups,
+            impl=self.impl,
         )
 
 

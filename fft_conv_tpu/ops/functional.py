@@ -151,6 +151,10 @@ def _freq_domain_conv(signal, kernel, fft_shape, groups):
     return out.astype(in_dtype)
 
 
+def _on_tpu() -> bool:
+    return jax.devices()[0].platform == "tpu"
+
+
 def fft_conv(
     signal: jax.Array,
     kernel: jax.Array,
@@ -160,6 +164,7 @@ def fft_conv(
     dilation: IntOrTuple = 1,
     groups: int = 1,
     padding_mode: str = "constant",
+    impl: str = "auto",
 ) -> jax.Array:
     """N-d convolution via FFT; fast for large kernels.
 
@@ -167,19 +172,59 @@ def fft_conv(
       signal: (B, Cin, *spatial); kernel: (Cout, Cin/groups, *k);
       bias: (Cout,) or None.
 
+    ``impl``: "auto" (fused Pallas kernel on TPU when the config qualifies:
+    1D, unit stride/dilation/groups; composed XLA otherwise), "xla"
+    (always composed), "fused" (require the Pallas path; ValueError if the
+    config doesn't qualify).
+
     Reference semantics: functional.py:19-89, step-for-step:
     normalize args -> dilate kernel -> pad signal -> even-rounded circular
     FFT -> per-bin grouped complex matmul -> inverse FFT -> crop valid
     region with stride -> add bias.
     """
     n = signal.ndim - 2
+    stride_ = to_ntuple(stride, n)
+    padding_ = to_ntuple(padding, n)
+    dilation_ = to_ntuple(dilation, n)
+
+    if impl not in ("auto", "xla", "fused"):
+        raise ValueError(f"unknown impl: {impl!r}")
+    if impl != "xla":
+        eligible = (
+            n == 1
+            and stride_ == (1,)
+            and dilation_ == (1,)
+            and groups == 1
+            and padding_mode in ("constant", "zeros")
+        )
+        if impl == "fused" and not eligible:
+            raise ValueError(
+                "impl='fused' requires 1D, stride=1, dilation=1, groups=1, "
+                "zero padding mode"
+            )
+        if eligible and (impl == "fused" or _on_tpu()):
+            from ..kernels.fused1d import choose_fft_size, fft_conv1d_fused
+
+            l_pad = signal.shape[-1] + 2 * padding_[0]
+            if choose_fft_size(
+                kernel.shape[-1], l_pad, signal.shape[1], kernel.shape[0]
+            ) is not None:
+                return fft_conv1d_fused(
+                    signal, kernel, bias, padding=padding_[0]
+                )
+            if impl == "fused":
+                raise ValueError(
+                    "no fused FFT configuration fits this shape (kernel "
+                    "spectra exceed the VMEM budget or signal too small)"
+                )
+
     return _fft_conv(
         signal,
         kernel,
         bias,
-        to_ntuple(stride, n),
-        to_ntuple(padding, n),
-        to_ntuple(dilation, n),
+        stride_,
+        padding_,
+        dilation_,
         int(groups),
         padding_mode,
     )
@@ -227,6 +272,7 @@ def fft_conv_transpose(
     output_padding: IntOrTuple = 0,
     dilation: IntOrTuple = 1,
     groups: int = 1,
+    impl: str = "auto",
 ) -> jax.Array:
     """N-d transposed convolution via FFT.
 
@@ -234,20 +280,60 @@ def fft_conv_transpose(
       signal: (B, Cin, *spatial); kernel: (Cin, Cout/groups, *k)
       (transposed-conv weight convention); bias: (Cout,) or None.
 
+    ``impl``: "auto" / "xla" / "fused" as in ``fft_conv`` (the fused path
+    qualifies at 1D, unit stride/dilation/groups, zero output_padding).
+
     Reference semantics: functional.py:92-176. Kernel flip + group transpose
     turns transposed conv into a regular FFT correlation; signal interior
     zero-stuffing implements stride-upsampling plus the left full-conv pad;
     the ``padding`` argument *removes* border from the result.
     """
     n = signal.ndim - 2
+    stride_ = to_ntuple(stride, n)
+    padding_ = to_ntuple(padding, n)
+    output_padding_ = to_ntuple(output_padding, n)
+    dilation_ = to_ntuple(dilation, n)
+
+    if impl not in ("auto", "xla", "fused"):
+        raise ValueError(f"unknown impl: {impl!r}")
+    if impl != "xla":
+        eligible = (
+            n == 1
+            and stride_ == (1,)
+            and dilation_ == (1,)
+            and groups == 1
+            and output_padding_ == (0,)
+        )
+        if impl == "fused" and not eligible:
+            raise ValueError(
+                "impl='fused' requires 1D, stride=1, dilation=1, groups=1, "
+                "output_padding=0"
+            )
+        if eligible and (impl == "fused" or _on_tpu()):
+            from ..kernels.fused1d import (
+                choose_fft_size,
+                fft_conv_transpose1d_fused,
+            )
+
+            k = kernel.shape[-1]
+            l_full = signal.shape[-1] + 2 * (k - 1)
+            if choose_fft_size(
+                k, l_full, signal.shape[1], kernel.shape[1]
+            ) is not None:
+                return fft_conv_transpose1d_fused(
+                    signal, kernel, bias, padding=padding_[0]
+                )
+            if impl == "fused":
+                raise ValueError("no fused FFT configuration fits this shape")
+
     return _fft_conv_transpose(
         signal,
         kernel,
         bias,
-        to_ntuple(stride, n),
-        to_ntuple(padding, n),
-        to_ntuple(output_padding, n),
-        to_ntuple(dilation, n),
+        stride_,
+        padding_,
+        output_padding_,
+        dilation_,
         int(groups),
     )
 

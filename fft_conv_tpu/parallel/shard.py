@@ -103,6 +103,7 @@ def fft_conv_sharded(
         dilation=to_ntuple(dilation, n),
         groups=local_groups,
         padding_mode=padding_mode,
+        impl="xla",  # Pallas-inside-shard_map is not validated; pin composed
     )
 
     if tp_mode == "in" and model:
@@ -195,6 +196,7 @@ def fft_conv_transpose_sharded(
         output_padding=to_ntuple(output_padding, n),
         dilation=to_ntuple(dilation, n),
         groups=local_groups,
+        impl="xla",  # Pallas-inside-shard_map is not validated; pin composed
     )
 
     def body(s, k, b):

@@ -75,7 +75,7 @@ def test_split_factors():
 
 def test_choose_fft_size_policy():
     assert choose_fft_size(3840, 32768, 8, 8) == 8192
-    assert choose_fft_size(128, 2**20, 3, 2) == 16384
+    assert choose_fft_size(128, 2**20, 3, 2) == 8192  # capped (see _FFT_SIZES)
     # huge channel counts exceed the VMEM spectra budget -> no fused config
     assert choose_fft_size(128, 2**20, 128, 128) is None
 
@@ -174,6 +174,48 @@ def test_fused_transpose_validation():
         fft_conv_transpose1d_fused(
             jnp.ones((1, 2, 100)), jnp.ones((2, 3, 5)), padding=5
         )
+
+
+def test_impl_dispatcher():
+    """fft_conv(impl=...) routes correctly; 'fused' forces the Pallas path
+    (on CPU it still runs, via the interpreter), 'xla' never does."""
+    rng = np.random.default_rng(12)
+    sig = jnp.asarray(rng.standard_normal((1, 2, 3000)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 2, 130)).astype(np.float32))
+    y_xla = fft_conv(sig, w, impl="xla")
+    y_fused = fft_conv(sig, w, impl="fused")
+    _assert_close_scaled(y_fused, y_xla)
+    # auto on CPU -> composed (bitwise identical to xla)
+    y_auto = fft_conv(sig, w, impl="auto")
+    assert np.array_equal(np.asarray(y_auto), np.asarray(y_xla))
+    with pytest.raises(ValueError):
+        fft_conv(sig, w, stride=2, impl="fused")  # stride not fused-eligible
+    with pytest.raises(ValueError):
+        fft_conv(sig, w, impl="bogus")
+
+
+def test_impl_dispatcher_transpose():
+    from fft_conv_tpu import fft_conv_transpose
+
+    rng = np.random.default_rng(13)
+    sig = jnp.asarray(rng.standard_normal((1, 2, 3000)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((2, 3, 130)).astype(np.float32))
+    y_xla = fft_conv_transpose(sig, w, padding=4, impl="xla")
+    y_fused = fft_conv_transpose(sig, w, padding=4, impl="fused")
+    _assert_close_scaled(y_fused, y_xla)
+    with pytest.raises(ValueError):
+        fft_conv_transpose(sig, w, output_padding=1, stride=2, impl="fused")
+
+
+def test_module_impl_knob():
+    from fft_conv_tpu.nn import FFTConv1d
+
+    layer = FFTConv1d(2, 3, 130, impl="fused", key=jax.random.key(0))
+    x = jnp.ones((1, 2, 3000))
+    layer_x = FFTConv1d(2, 3, 130, impl="xla", key=jax.random.key(0))
+    _assert_close_scaled(layer(x), layer_x(x))
+    with pytest.raises(ValueError):
+        FFTConv1d(2, 3, 130, impl="bogus")
 
 
 def test_fused_validation_errors():
