@@ -32,8 +32,27 @@ from ..utils.shapes import (
     conv_transpose_output_shape,
     dilated_size,
     fft_even_shape,
+    next_pow2,
     to_ntuple,
 )
+
+# Composed-path FFT length policy:
+#   "even" — reference parity: round each padded spatial size up to even
+#            (reference functional.py:64-66). Relies on the backend FFT
+#            handling arbitrary (mixed-radix / Bluestein) lengths well.
+#   "pow2" — round up to the next power of two. Mathematically identical
+#            for the cropped valid region (appended zeros never wrap into
+#            it); preferable on backends whose FFT is slow at awkward sizes.
+# Module-level default, overridable per call via fft_policy=.
+DEFAULT_FFT_POLICY = "even"
+
+
+def _fft_length(s: int, policy: str) -> int:
+    if policy == "even":
+        return (s + 1) // 2 * 2
+    if policy == "pow2":
+        return next_pow2(s)
+    raise ValueError(f"unknown fft_policy: {policy!r}")
 
 IntOrTuple = Union[int, Iterable[int]]
 
@@ -165,6 +184,7 @@ def fft_conv(
     groups: int = 1,
     padding_mode: str = "constant",
     impl: str = "auto",
+    fft_policy: Optional[str] = None,
 ) -> jax.Array:
     """N-d convolution via FFT; fast for large kernels.
 
@@ -227,18 +247,23 @@ def fft_conv(
         dilation_,
         int(groups),
         padding_mode,
+        fft_policy or DEFAULT_FFT_POLICY,
     )
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
-def _fft_conv(signal, kernel, bias, stride_, padding_, dilation_, groups, padding_mode):
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
+def _fft_conv(
+    signal, kernel, bias, stride_, padding_, dilation_, groups, padding_mode,
+    fft_policy,
+):
     n = signal.ndim - 2
     kernel = _dilate_kernel(kernel, dilation_)
     signal = _pad_signal(signal, padding_, padding_mode)
 
-    # Even-rounded FFT length (reference functional.py:64-66): circular
-    # transform at ~signal length; the crop below never touches wraparound.
-    fft_shape = fft_even_shape(signal.shape[2:])
+    # FFT length per policy (reference parity: even rounding,
+    # functional.py:64-66): circular transform at >= signal length; the crop
+    # below never touches wraparound.
+    fft_shape = tuple(_fft_length(s, fft_policy) for s in signal.shape[2:])
     out = _freq_domain_conv(signal, kernel, fft_shape, groups)
 
     # Crop to the valid region [0 : s - k + 1 : stride] (functional.py:76-82).
@@ -273,6 +298,7 @@ def fft_conv_transpose(
     dilation: IntOrTuple = 1,
     groups: int = 1,
     impl: str = "auto",
+    fft_policy: Optional[str] = None,
 ) -> jax.Array:
     """N-d transposed convolution via FFT.
 
@@ -335,12 +361,14 @@ def fft_conv_transpose(
         output_padding_,
         dilation_,
         int(groups),
+        fft_policy or DEFAULT_FFT_POLICY,
     )
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
 def _fft_conv_transpose(
-    signal, kernel, bias, stride_, padding_, output_padding_, dilation_, groups
+    signal, kernel, bias, stride_, padding_, output_padding_, dilation_, groups,
+    fft_policy,
 ):
     n = signal.ndim - 2
     k_spatial = kernel.shape[2:]
@@ -365,8 +393,12 @@ def _fft_conv_transpose(
     signal_ = lax.pad(signal, zero, config)
 
     # FFT length >= linear-conv length, rounded even (functional.py:143).
+    # FFT length >= linear-conv length s + k - 1, rounded per policy. The
+    # "even" rounding reproduces the reference exactly: (s+k-1+1)//2*2 ==
+    # (s+k)//2*2 (functional.py:143).
     fft_shape = tuple(
-        (s + k) // 2 * 2 for s, k in zip(signal_.shape[2:], k_dil)
+        _fft_length(s + k - 1, fft_policy)
+        for s, k in zip(signal_.shape[2:], k_dil)
     )
     out_shape = conv_transpose_output_shape(
         signal.shape[2:], k_spatial, stride_, padding_, output_padding_, dilation_

@@ -119,6 +119,40 @@ def test_padding_modes(padding_mode):
     _assert_almost_equal(y0, y1.numpy())
 
 
+@pytest.mark.parametrize("fft_policy", ["even", "pow2"])
+@pytest.mark.parametrize("input_size", [7, 13, 16])
+def test_fft_policy_equivalence(fft_policy, input_size):
+    """pow2 FFT padding never changes the cropped valid region."""
+    rng = np.random.default_rng(input_size)
+    signal = rng.standard_normal((2, 3, input_size, input_size)).astype(np.float32)
+    w = rng.standard_normal((4, 3, 3, 3)).astype(np.float32)
+    y = fft_conv(jnp.asarray(signal), jnp.asarray(w), stride=2, padding=1,
+                 fft_policy=fft_policy)
+    y_ref = F.conv2d(torch.tensor(signal), torch.tensor(w), stride=2,
+                     padding=1).numpy()
+    _assert_almost_equal(y, y_ref)
+
+
+def test_fft_policy_transpose_equivalence():
+    from fft_conv_tpu.functional import fft_conv_transpose
+
+    rng = np.random.default_rng(3)
+    signal = rng.standard_normal((2, 3, 13)).astype(np.float32)
+    w = rng.standard_normal((3, 4, 5)).astype(np.float32)
+    y_ref = F.conv_transpose1d(torch.tensor(signal), torch.tensor(w),
+                               stride=2, padding=1).numpy()
+    for pol in ("even", "pow2"):
+        y = fft_conv_transpose(jnp.asarray(signal), jnp.asarray(w), stride=2,
+                               padding=1, fft_policy=pol)
+        _assert_almost_equal(y, y_ref)
+
+
+def test_bad_fft_policy_raises():
+    with pytest.raises(ValueError):
+        fft_conv(jnp.ones((1, 1, 16)), jnp.ones((1, 1, 3)),
+                 fft_policy="bogus")
+
+
 def test_bfloat16_runs():
     """bf16 inputs upcast to f32 spectra and return bf16."""
     rng = np.random.default_rng(3)
