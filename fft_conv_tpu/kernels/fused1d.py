@@ -270,14 +270,17 @@ def _fused_forward(x_padded, kernel, n):
     v_total = l_pad - k + 1
     nblk = -(-v_total // v)
 
-    # overlapped blocks, laid out (B, nblk, N1, Cin, N2) for the MXU stages
+    # overlapped blocks, laid out (B, nblk, N1, Cin, N2) for the MXU stages.
+    # One gather (row starts i*v + row offsets) instead of nblk stacked
+    # slices — constant-size HLO regardless of block count.
     need = (nblk - 1) * v + n
     x_ext = jnp.pad(x_padded, ((0, 0), (0, 0), (0, need - l_pad)))
-    blocks = jnp.stack(
-        [lax.slice_in_dim(x_ext, i * v, i * v + n, axis=2) for i in range(nblk)],
-        axis=1,
-    )  # (B, nblk, Cin, N)
-    blocks = blocks.reshape(b, nblk, cin, n1, n2).transpose(0, 1, 3, 2, 4)
+    idx = (
+        np.arange(nblk, dtype=np.int32)[:, None] * v
+        + np.arange(n, dtype=np.int32)[None, :]
+    )
+    blocks = jnp.take(x_ext, jnp.asarray(idx), axis=2)  # (B, Cin, nblk, N)
+    blocks = blocks.reshape(b, cin, nblk, n1, n2).transpose(0, 2, 3, 1, 4)
 
     kr, ki = kernel_spectrum(kernel, n, n1, n2)
     consts = [jnp.asarray(m) for m in _factor_consts(n1, n2)]
