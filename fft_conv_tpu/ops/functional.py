@@ -222,6 +222,10 @@ def fft_conv(
                 "impl='fused' requires 1D, stride=1, dilation=1, groups=1, "
                 "zero padding mode"
             )
+        # auto: the fused kernel's per-block FFT work only pays off once the
+        # kernel is large enough to be in FFT-conv territory at all
+        if impl == "auto" and kernel.shape[-1] < 64:
+            eligible = False
         if eligible and (impl == "fused" or _on_tpu()):
             from ..kernels.fused1d import choose_fft_size, fft_conv1d_fused
 
