@@ -80,15 +80,20 @@ def main():
         bias = jnp.asarray(rng.standard_normal((8,)).astype(np.float32))
 
         t_fft = benchmark_fori(
-            fft_conv, sig, ker, bias, num_iterations=iters,
+            lambda s, k, b: fft_conv(s, k, b, impl="xla"), sig, ker, bias,
+            num_iterations=iters,
         ).mean
         best = "composed"
         if ndim == 1:
-            t_fused = benchmark_fori(
-                fft_conv1d_fused, sig, ker, bias, num_iterations=iters,
-            ).mean
-            if t_fused < t_fft:
-                t_fft, best = t_fused, "fused"
+            try:
+                t_fused = benchmark_fori(
+                    fft_conv1d_fused, sig, ker, bias, num_iterations=iters,
+                ).mean
+                if t_fused < t_fft:
+                    t_fft, best = t_fused, "fused"
+            except Exception as e:  # fused path must never sink the bench
+                print(f"# fused path failed for {ndim}d K={k}: {e}",
+                      file=sys.stderr)
         t_direct = benchmark_fori(
             direct_conv_fn(ndim), sig, ker, bias, num_iterations=iters,
         ).mean

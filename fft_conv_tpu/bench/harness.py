@@ -135,29 +135,43 @@ def benchmark_fori(
     iteration i's output (perturbed by out[0]*1e-30 — numerically
     negligible, but a true dependency XLA cannot elide), and we time the
     single dispatch end-to-end by fetching the scalar result to host.
-    Returns per-iteration time.
+
+    The dispatch + host-fetch round trip itself costs ~25 ms through the
+    tunnel — an additive constant that would swamp ms-scale ops. We
+    therefore time loops of N and 2N iterations and report
+    (t(2N) - t(N)) / N: the fixed cost cancels exactly.
     """
     import jax.numpy as _jnp
     from jax import lax as _lax
 
-    def loop(x, *r):
-        def body(_, carry):
-            x, acc = carry
-            out = fn(x, *r, **kwargs)
-            s = _jnp.real(out).ravel()[0]
-            return (x + s * 1e-30, acc + s)
+    def make(iters):
+        def loop(x, *r):
+            def body(_, carry):
+                x, acc = carry
+                out = fn(x, *r, **kwargs)
+                s = _jnp.real(out).ravel()[0]
+                return (x + s * 1e-30, acc + s)
 
-        _, acc = _lax.fori_loop(0, num_iterations, body, (x, 0.0))
-        return acc
+            _, acc = _lax.fori_loop(0, iters, body, (x, 0.0))
+            return acc
 
-    looped = jax.jit(loop)
-    float(looped(signal, *rest))  # warm-up / compile
-    times = []
+        return jax.jit(loop)
+
+    loop_n = make(num_iterations)
+    loop_2n = make(2 * num_iterations)
+    float(loop_n(signal, *rest))  # warm-up / compile
+    float(loop_2n(signal, *rest))
+    t_n, t_2n = [], []
     for _ in range(3):
         t0 = time.perf_counter()
-        float(looped(signal, *rest))  # host fetch = real barrier
-        times.append((time.perf_counter() - t0) / num_iterations)
-    return Benchmark(float(np.min(times)), float(np.std(times)))
+        float(loop_n(signal, *rest))  # host fetch = real barrier
+        t_n.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(loop_2n(signal, *rest))
+        t_2n.append(time.perf_counter() - t0)
+    per_iter = (np.min(t_2n) - np.min(t_n)) / num_iterations
+    spread = (np.std(t_2n) + np.std(t_n)) / num_iterations
+    return Benchmark(float(max(per_iter, 1e-9)), float(spread))
 
 
 def _assert_almost_equal(x, y) -> bool:

@@ -3,11 +3,15 @@ from .fused1d import (
     choose_fft_size,
     fft_conv1d_fused,
     fft_conv_transpose1d_fused,
+    plan_fft_conv1d,
+    set_fused_precision,
 )
 
 __all__ = [
     "fft_conv1d_fused",
     "fft_conv_transpose1d_fused",
+    "plan_fft_conv1d",
+    "set_fused_precision",
     "choose_fft_size",
     "four_step_fft",
     "four_step_ifft",

@@ -12,10 +12,13 @@ by K-1 samples; each cell emits V = N-K+1 valid outputs (cross-correlation
 keeps the FIRST V samples of the circular result).
 
 TPU-shaping decisions:
-  * FFT size N = N1*N2 (powers of two, N1 >= N2) with blocks laid out
-    (N1, Cin, N2): both FFT stages are single full-width MXU matmuls
-    (N1xN1) @ (N1 x Cin*N2) and (N1*Cin x N2) @ (N2xN2) — no batched small
-    matmuls, no in-kernel transposes or reshapes.
+  * FFT size N = N1*N2 (powers of two, N2 = 128 lanes). Each cell DMAs its
+    overlapped block straight from HBM (rows of a free (B,Cin,rows,128)
+    view) — an XLA-side gather for the overlapped blocks costs 2.5x the
+    whole kernel (measured 0.43 ms vs 0.17 ms on v5e). Stage-1's contraction
+    doubles as the layout change: (N1,N1) x (Cin,N1,N2) -> (N1,Cin,N2), so
+    both FFT stages are single full-width MXU matmuls with native (8,128)
+    f32 tiles and there are no in-kernel transposes or reshapes.
   * Kernel spectra (precomputed once via kernels.fourstep, conjugated, in
     the same scrambled bin order) stay VMEM-resident across all grid cells;
     N is chosen so they fit a ~4 MiB budget.
@@ -138,22 +141,6 @@ def _dot(a, b, dn, precision):
     )
 
 
-def _mm_left(m_re, m_im_or_none, x_re, x_im_or_none, precision):
-    """(N1,N1) complex @ (N1, C, N2) complex -> (re, im); None means zero."""
-    dn = (((1,), (0,)), ((), ()))
-    dot = lambda a, b: _dot(a, b, dn, precision)  # noqa: E731
-    re = dot(m_re, x_re)
-    im = None
-    if x_im_or_none is not None:
-        re = re - dot(m_im_or_none, x_im_or_none) if m_im_or_none is not None else re
-        im = dot(m_re, x_im_or_none)
-        if m_im_or_none is not None:
-            im = im + dot(m_im_or_none, x_re)
-    elif m_im_or_none is not None:
-        im = dot(m_im_or_none, x_re)
-    return re, im
-
-
 def _mm_right(x_re, x_im, m_re, m_im, precision):
     """(N1, C, N2) complex @ (N2,N2) complex -> (re, im)."""
     dn = (((2,), (0,)), ((), ()))
@@ -163,16 +150,32 @@ def _mm_right(x_re, x_im, m_re, m_im, precision):
     return re, im
 
 
-def _make_kernel(n1, n2, cin, cout, v1, precision):
+def _make_kernel(n1, n2, cin, cout, v1, vrow, precision):
     def body(
-        x_ref, kr_ref, ki_ref,
+        x_hbm, kr_ref, ki_ref,
         f1r, f1i, f2r, f2i, twr, twi, if1r, if1i, if2r, if2i,
-        out_ref,
+        out_ref, x_vmem, dma_sem,
     ):
-        a = x_ref[0, 0]  # (N1, Cin, N2) real block
+        # Fetch this cell's overlapped block straight from HBM: rows
+        # [i*vrow, i*vrow + n1) of the (B, Cin, rows, N2) view. Blocks
+        # overlap by (n1 - vrow) rows — inexpressible with BlockSpec index
+        # maps (block-granular), and a gather in the XLA wrapper costs 2.5x
+        # the whole kernel (measured 0.43 ms vs 0.17 ms) — so manual DMA.
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        dma = pltpu.make_async_copy(
+            x_hbm.at[b, :, pl.ds(i * vrow, n1), :], x_vmem, dma_sem
+        )
+        dma.start()
+        dma.wait()
+        a = x_vmem[...]  # (Cin, N1, N2) real block
 
-        # forward stage 1 (real input: 2 matmuls)
-        br, bi = _mm_left(f1r[...], f1i[...], a, None, precision)
+        # forward stage 1 (real input: 2 matmuls); contracting the rhs's
+        # N1 axis also converts the layout: (N1,N1) x (Cin,N1,N2) ->
+        # (N1, Cin, N2), which the remaining stages expect.
+        dn_s1 = (((1,), (1,)), ((), ()))
+        br = _dot(f1r[...], a, dn_s1, precision)
+        bi = _dot(f1i[...], a, dn_s1, precision)
         # twiddle (broadcast over channel dim)
         tr = twr[...][:, None, :]
         ti = twi[...][:, None, :]
@@ -213,17 +216,14 @@ def _make_kernel(n1, n2, cin, cout, v1, precision):
 
 
 @lru_cache(maxsize=None)
-def _fused_call(b, nblk, n1, n2, cin, cout, v1, precision, interpret):
+def _fused_call(b, nblk, n1, n2, cin, cout, v1, vrow, precision, interpret):
     """Builds the pallas_call for a given static configuration."""
     n = n1 * n2
     mat_spec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     grid_spec = pl.GridSpec(
         grid=(b, nblk),
         in_specs=[
-            pl.BlockSpec(
-                (1, 1, n1, cin, n2), lambda i, j: (i, j, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec(memory_space=pl.ANY),  # x: whole array in HBM
             pl.BlockSpec(
                 (cout, n1, cin, n2), lambda i, j: (0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
@@ -237,10 +237,14 @@ def _fused_call(b, nblk, n1, n2, cin, cout, v1, precision, interpret):
             (1, 1, v1, cout, n2), lambda i, j: (i, j, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
+        scratch_shapes=[
+            pltpu.VMEM((cin, n1, n2), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
     )
     flops_cell = 2 * n * (2 * n1 + 4 * n2 + 4 * n2 + 2 * n1) * (cin + cout) // 2
     return pl.pallas_call(
-        _make_kernel(n1, n2, cin, cout, v1, precision),
+        _make_kernel(n1, n2, cin, cout, v1, vrow, precision),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, nblk, v1, cout, n2), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -261,7 +265,7 @@ def _fused_core(x_padded: jax.Array, kernel: jax.Array, n: int) -> jax.Array:
     return _fused_forward(x_padded, kernel, n)
 
 
-def _fused_forward(x_padded, kernel, n):
+def _fused_forward(x_padded, kernel, n, spectra=None):
     b, cin, l_pad = x_padded.shape
     cout, _, k = kernel.shape
     n1, n2 = fused_split(n)
@@ -270,26 +274,23 @@ def _fused_forward(x_padded, kernel, n):
     v_total = l_pad - k + 1
     nblk = -(-v_total // v)
 
-    # overlapped blocks, laid out (B, nblk, N1, Cin, N2) for the MXU stages.
-    # One gather (row starts i*v + row offsets) instead of nblk stacked
-    # slices — constant-size HLO regardless of block count.
+    # Zero prep: right-pad and view as (B, Cin, rows, N2) — a FREE reshape
+    # (v and n are multiples of n2 by construction). Each grid cell DMAs its
+    # own overlapped row window from HBM inside the kernel; an XLA-side
+    # gather for the overlapped blocks costs 2.5x the whole kernel
+    # (0.43 ms vs 0.17 ms, measured on v5e).
     need = (nblk - 1) * v + n
     x_ext = jnp.pad(x_padded, ((0, 0), (0, 0), (0, need - l_pad)))
-    idx = (
-        np.arange(nblk, dtype=np.int32)[:, None] * v
-        + np.arange(n, dtype=np.int32)[None, :]
-    )
-    blocks = jnp.take(x_ext, jnp.asarray(idx), axis=2)  # (B, Cin, nblk, N)
-    blocks = blocks.reshape(b, cin, nblk, n1, n2).transpose(0, 2, 3, 1, 4)
+    x4 = x_ext.reshape(b, cin, need // n2, n2)
 
-    kr, ki = kernel_spectrum(kernel, n, n1, n2)
+    kr, ki = spectra if spectra is not None else kernel_spectrum(kernel, n, n1, n2)
     consts = [jnp.asarray(m) for m in _factor_consts(n1, n2)]
 
     call = _fused_call(
-        b, nblk, n1, n2, cin, cout, v1,
+        b, nblk, n1, n2, cin, cout, v1, v // n2,
         _PRECISION_MODE, _is_cpu(),
     )
-    out = call(blocks.astype(jnp.float32), kr, ki, *consts)
+    out = call(x4.astype(jnp.float32), kr, ki, *consts)
     # (B, nblk, V1, Cout, N2) -> (B, Cout, nblk*V) -> crop
     out = out.transpose(0, 3, 1, 2, 4).reshape(b, cout, nblk * v)
     return lax.slice_in_dim(out, 0, v_total, axis=2)
@@ -348,6 +349,68 @@ def fft_conv1d_fused(
     if bias is not None:
         out = out + bias.reshape(1, -1, 1)
     return out.astype(signal.dtype)
+
+
+def plan_fft_conv1d(
+    kernel: jax.Array,
+    bias: Optional[jax.Array] = None,
+    padding: int = 0,
+    signal_length: Optional[int] = None,
+    cache_spectrum: bool = True,
+):
+    """Returns a jitted ``fn(signal) -> out`` with the kernel baked in.
+
+    The TPU-native analog of an FFT plan + cached kernel spectrum: for
+    inference serving where one kernel convolves many signals, the scrambled
+    conjugated spectrum is computed ONCE here (when ``signal_length`` is
+    given and a fused config fits) instead of per call.
+
+    Reference contrast: the reference re-plans cuFFT per call and clears the
+    plan cache in its benchmark (generate_benchmark_plot.py:51); here the
+    plan is an explicit object with no hidden global cache.
+    """
+    cout, cin, k = kernel.shape
+    kernel = kernel.astype(jnp.float32)
+    n = None
+    if signal_length is not None:
+        n = choose_fft_size(k, signal_length + 2 * padding, cin, cout)
+    if n is None or not cache_spectrum:
+        return jax.jit(
+            lambda signal: fft_conv1d_fused(signal, kernel, bias, padding=padding)
+        )
+
+    n1, n2 = fused_split(n)
+    kr, ki = kernel_spectrum(kernel, n, n1, n2)
+    kr = jax.device_put(kr)
+    ki = jax.device_put(ki)
+
+    @jax.jit
+    def planned(signal):
+        x = F._pad_signal(signal, (padding,), "constant")
+        out = _fused_core_planned(x.astype(jnp.float32), kernel, kr, ki, n)
+        if bias is not None:
+            out = out + bias.reshape(1, -1, 1)
+        return out.astype(signal.dtype)
+
+    return planned
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _fused_core_planned(x_padded, kernel, kr, ki, n):
+    return _fused_forward(x_padded, kernel, n, spectra=(kr, ki))
+
+
+def _fused_planned_fwd(x_padded, kernel, kr, ki, n):
+    out = _fused_forward(x_padded, kernel, n, spectra=(kr, ki))
+    return out, (x_padded, kernel)
+
+
+def _fused_planned_bwd(n, residuals, g):
+    dx, dw = _fused_bwd(n, residuals, g)
+    return dx, dw, None, None
+
+
+_fused_core_planned.defvjp(_fused_planned_fwd, _fused_planned_bwd)
 
 
 def fft_conv_transpose1d_fused(

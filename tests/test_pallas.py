@@ -176,6 +176,23 @@ def test_fused_transpose_validation():
         )
 
 
+def test_plan_fft_conv1d():
+    """Planned conv (precomputed spectrum) matches torch and differentiates."""
+    from fft_conv_tpu.kernels.fused1d import plan_fft_conv1d
+
+    rng = np.random.default_rng(21)
+    sig = rng.standard_normal((2, 3, 5000)).astype(np.float32)
+    w = rng.standard_normal((4, 3, 200)).astype(np.float32)
+    b = rng.standard_normal((4,)).astype(np.float32)
+    plan = plan_fft_conv1d(jnp.asarray(w), jnp.asarray(b), padding=16,
+                           signal_length=5000)
+    y_ref = TF.conv1d(torch.tensor(sig), torch.tensor(w), torch.tensor(b),
+                      padding=16).numpy()
+    _assert_close_scaled(plan(jnp.asarray(sig)), y_ref)
+    g = jax.grad(lambda s: (plan(s) ** 2).mean())(jnp.asarray(sig))
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_impl_dispatcher():
     """fft_conv(impl=...) routes correctly; 'fused' forces the Pallas path
     (on CPU it still runs, via the interpreter), 'xla' never does."""
