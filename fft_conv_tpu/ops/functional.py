@@ -156,13 +156,23 @@ def _freq_domain_conv(signal, kernel, fft_shape, groups):
 
     Conjugating the kernel spectrum makes this cross-correlation, matching
     torch's "convolution" convention (reference functional.py:68-75).
+
+    Two lowerings, chosen at trace time: short axes on TPU run the MXU
+    DFT-matmul pipeline (ops/spectral.py — XLA's Fft HLO is ~50x off
+    roofline at 512^2); long axes use jnp.fft.
     """
+    from .spectral import freq_domain_conv_matmul, use_matmul_dft
+
     n = len(fft_shape)
-    axes = tuple(range(-n, 0))
     in_dtype = signal.dtype
     if in_dtype in (jnp.bfloat16, jnp.float16):
         signal = signal.astype(jnp.float32)
         kernel = kernel.astype(jnp.float32)
+    if use_matmul_dft(fft_shape):
+        return freq_domain_conv_matmul(
+            signal, kernel, fft_shape, groups
+        ).astype(in_dtype)
+    axes = tuple(range(-n, 0))
     sig_fr = jnp.fft.rfftn(signal, s=fft_shape, axes=axes)
     ker_fr = jnp.conj(jnp.fft.rfftn(kernel, s=fft_shape, axes=axes))
     out_fr = _spectral_contract(sig_fr, ker_fr, groups)

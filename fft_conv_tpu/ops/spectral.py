@@ -1,0 +1,200 @@
+"""DFT-as-matmul: frequency transforms on the MXU for short axes.
+
+XLA's Fft HLO on TPU is far off the roofline for the 2D/3D benchmark sizes
+(measured: 5.4 ms flat for the whole composed conv at 512x512 where the
+ideal is ~0.1 ms). For axes up to ~2k, a dense DFT matrix multiply is
+MXU-native and wins despite the O(N^2) flops — the same reasoning as the
+fused 1D kernel's four-step factorization (kernels/fourstep.py), applied
+axis-by-axis in plain XLA so it composes with every fft_conv feature
+(groups, stride, dilation, N-d).
+
+All arithmetic is split re/im f32 (no complex dtypes: the axon TPU runtime
+rejects small-shape complex ops, and split-real gives explicit control of
+matmul precision). The pipeline:
+
+    rfft on the last axis (rectangular real->half-spectrum matmuls)
+    full complex DFT per remaining axis (square matmuls)
+    grouped channel MAC (broadcast-mul+sum, VPU)
+    inverse DFT per non-last axis, inverse rfft on the last axis
+    (hermitian-weighted rectangular matmuls, real output)
+
+Replaces torch.fft.rfftn/irfftn (reference functional.py:6, 68-75) for
+short-axis shapes; jnp.fft remains the path for long axes.
+"""
+
+from functools import lru_cache
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+# Axes at most this long use DFT matmuls on TPU (all-or-nothing per call).
+MATMUL_DFT_MAX = 2048
+
+# Matmul precision for the spectral matmuls. HIGHEST = full f32; outside
+# Pallas, HIGH (bf16x3) is also available as a speed knob.
+_PRECISION = lax.Precision.HIGHEST
+
+
+def set_spectral_precision(mode: str) -> None:
+    """"highest" (full f32, default) | "high" (bf16x3, ~2x faster).
+
+    Clears JAX's compilation caches: the precision is read at trace time, so
+    already-compiled fft_conv executables would otherwise keep the old mode.
+    """
+    global _PRECISION
+    table = {"highest": lax.Precision.HIGHEST, "high": lax.Precision.HIGH}
+    if mode not in table:
+        raise ValueError(f"unknown spectral precision mode: {mode!r}")
+    if table[mode] != _PRECISION:
+        _PRECISION = table[mode]
+        jax.clear_caches()
+
+_LETTERS = "abcdefghijk"
+
+
+@lru_cache(maxsize=None)
+def _rfft_mats(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(Fr, Fi) with shape (n, n//2+1): X[k] = sum_t x[t] e^{-2pi i tk/n}."""
+    t = np.arange(n)[:, None]
+    k = np.arange(n // 2 + 1)[None, :]
+    ang = -2.0 * np.pi * t * k / n
+    return (
+        np.ascontiguousarray(np.cos(ang), np.float32),
+        np.ascontiguousarray(np.sin(ang), np.float32),
+    )
+
+
+@lru_cache(maxsize=None)
+def _irfft_mats(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(Cr, Ci) with shape (n//2+1, n): y = Xr @ Cr + Xi @ Ci.
+
+    Hermitian expansion of the one-sided spectrum: interior bins weighted 2,
+    DC and (even-n) Nyquist weighted 1; imaginary parts of DC/Nyquist are
+    ignored (rows zeroed), matching irfft semantics.
+    """
+    nb = n // 2 + 1
+    k = np.arange(nb)[:, None]
+    t = np.arange(n)[None, :]
+    ang = 2.0 * np.pi * k * t / n
+    w = np.full((nb, 1), 2.0)
+    w[0] = 1.0
+    if n % 2 == 0:
+        w[-1] = 1.0
+    cr = w * np.cos(ang) / n
+    ci = -w * np.sin(ang) / n
+    ci[0] = 0.0
+    if n % 2 == 0:
+        ci[-1] = 0.0
+    return (
+        np.ascontiguousarray(cr, np.float32),
+        np.ascontiguousarray(ci, np.float32),
+    )
+
+
+@lru_cache(maxsize=None)
+def _dft_mats(n: int, inverse: bool) -> Tuple[np.ndarray, np.ndarray]:
+    """Square complex DFT matrix (split), inverse includes the 1/n."""
+    j = np.arange(n)
+    sign = 2.0 if inverse else -2.0
+    ang = sign * np.pi * np.outer(j, j) / n
+    scale = (1.0 / n) if inverse else 1.0
+    return (
+        np.ascontiguousarray(np.cos(ang) * scale, np.float32),
+        np.ascontiguousarray(np.sin(ang) * scale, np.float32),
+    )
+
+
+def _axis_einsum(x: jax.Array, mat: jax.Array, axis: int) -> jax.Array:
+    """Contract ``axis`` of x with dim 0 of mat, keeping the axis in place."""
+    subs = _LETTERS[: x.ndim]
+    a = subs[axis]
+    spec = f"{subs},{a}z->{subs.replace(a, 'z')}"
+    return jnp.einsum(spec, x, mat, precision=_PRECISION)
+
+
+def _complex_axis_dft(xr, xi, axis, n, inverse, in_len=None):
+    mr, mi = _dft_mats(n, inverse)
+    if in_len is not None and in_len < n:
+        # implicit zero-padding: only the first in_len rows contribute
+        mr, mi = mr[:in_len], mi[:in_len]
+    mr = jnp.asarray(mr)
+    mi = jnp.asarray(mi)
+    yr = _axis_einsum(xr, mr, axis) - _axis_einsum(xi, mi, axis)
+    yi = _axis_einsum(xr, mi, axis) + _axis_einsum(xi, mr, axis)
+    return yr, yi
+
+
+def rfftn_matmul(x: jax.Array, fft_shape) -> Tuple[jax.Array, jax.Array]:
+    """Split re/im one-sided N-d DFT over the trailing len(fft_shape) axes.
+
+    Implicit zero-padding: instead of materializing a padded input, the DFT
+    matrices are row-sliced to the actual axis length — for a KxK kernel in
+    an S^2 transform this cuts the matmul flops by S/K per axis (~30x for
+    the 2D benchmark kernels).
+    """
+    n = len(fft_shape)
+    x = x.astype(jnp.float32)
+
+    fr, fi = (jnp.asarray(m[: x.shape[-1]]) for m in _rfft_mats(fft_shape[-1]))
+    xr = _axis_einsum(x, fr, x.ndim - 1)
+    xi = _axis_einsum(x, fi, x.ndim - 1)
+    for i in range(n - 1):
+        axis = x.ndim - n + i
+        xr, xi = _complex_axis_dft(
+            xr, xi, axis, fft_shape[i], inverse=False, in_len=x.shape[axis]
+        )
+    return xr, xi
+
+
+def irfftn_matmul(xr: jax.Array, xi: jax.Array, fft_shape) -> jax.Array:
+    """Inverse of rfftn_matmul: real output of shape (..., *fft_shape)."""
+    n = len(fft_shape)
+    for i in range(n - 1):
+        axis = xr.ndim - n + i
+        xr, xi = _complex_axis_dft(xr, xi, axis, fft_shape[i], inverse=True)
+    cr, ci = (jnp.asarray(m) for m in _irfft_mats(fft_shape[-1]))
+    return _axis_einsum(xr, cr, xr.ndim - 1) + _axis_einsum(xi, ci, xi.ndim - 1)
+
+
+def spectral_contract_split(sig_r, sig_i, ker_r, ker_i, groups: int):
+    """Grouped per-bin MAC on split spectra, kernel conjugated in-place.
+
+    (xr + i xi) * conj(kr + i ki) summed over Cin/g — the split-real form of
+    ops.functional._spectral_contract's small-channel branch.
+    """
+    batch, cin = sig_r.shape[0], sig_r.shape[1]
+    cout = ker_r.shape[0]
+    cin_g, cout_g = cin // groups, cout // groups
+    freq = sig_r.shape[2:]
+
+    def reshape_sig(a):
+        return a.reshape(batch, groups, 1, cin_g, *freq)
+
+    def reshape_ker(a):
+        return a.reshape(1, groups, cout_g, cin_g, *freq)
+
+    xr, xi = reshape_sig(sig_r), reshape_sig(sig_i)
+    kr, ki = reshape_ker(ker_r), reshape_ker(ker_i)
+    out_r = jnp.sum(xr * kr + xi * ki, axis=3).reshape(batch, cout, *freq)
+    out_i = jnp.sum(xi * kr - xr * ki, axis=3).reshape(batch, cout, *freq)
+    return out_r, out_i
+
+
+def freq_domain_conv_matmul(signal, kernel, fft_shape, groups) -> jax.Array:
+    """Full MXU-DFT pipeline: rfftn -> conj-MAC -> irfftn, split-real."""
+    in_dtype = signal.dtype
+    sig_r, sig_i = rfftn_matmul(signal, fft_shape)
+    ker_r, ker_i = rfftn_matmul(kernel, fft_shape)
+    out_r, out_i = spectral_contract_split(sig_r, sig_i, ker_r, ker_i, groups)
+    out = irfftn_matmul(out_r, out_i, fft_shape)
+    return out.astype(in_dtype)
+
+
+def use_matmul_dft(fft_shape, platform: Optional[str] = None) -> bool:
+    """True when every axis is short enough and we're on TPU."""
+    if platform is None:
+        platform = jax.devices()[0].platform
+    return platform == "tpu" and max(fft_shape) <= MATMUL_DFT_MAX
