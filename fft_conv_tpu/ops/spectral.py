@@ -134,17 +134,25 @@ def rfftn_matmul(x: jax.Array, fft_shape) -> Tuple[jax.Array, jax.Array]:
     matrices are row-sliced to the actual axis length — for a KxK kernel in
     an S^2 transform this cuts the matmul flops by S/K per axis (~30x for
     the 2D benchmark kernels).
+
+    The one-sided (real) transform runs on the FIRST spatial axis, not the
+    last: its halved bin count (S/2+1, usually odd) would waste most of the
+    128-lane minor dimension; on a leading axis it costs only sublane
+    padding while the minor dim keeps the full axis length. Bin-order
+    conventions are internal — the MAC is elementwise and the inverse
+    mirrors the forward, so only this module needs to agree with itself.
     """
     n = len(fft_shape)
     x = x.astype(jnp.float32)
+    first = x.ndim - n
 
-    fr, fi = (jnp.asarray(m[: x.shape[-1]]) for m in _rfft_mats(fft_shape[-1]))
-    xr = _axis_einsum(x, fr, x.ndim - 1)
-    xi = _axis_einsum(x, fi, x.ndim - 1)
-    for i in range(n - 1):
-        axis = x.ndim - n + i
+    fr, fi = (jnp.asarray(m[: x.shape[first]]) for m in _rfft_mats(fft_shape[0]))
+    xr = _axis_einsum(x, fr, first)
+    xi = _axis_einsum(x, fi, first)
+    for i in range(1, n):
         xr, xi = _complex_axis_dft(
-            xr, xi, axis, fft_shape[i], inverse=False, in_len=x.shape[axis]
+            xr, xi, first + i, fft_shape[i], inverse=False,
+            in_len=x.shape[first + i],
         )
     return xr, xi
 
@@ -152,11 +160,11 @@ def rfftn_matmul(x: jax.Array, fft_shape) -> Tuple[jax.Array, jax.Array]:
 def irfftn_matmul(xr: jax.Array, xi: jax.Array, fft_shape) -> jax.Array:
     """Inverse of rfftn_matmul: real output of shape (..., *fft_shape)."""
     n = len(fft_shape)
-    for i in range(n - 1):
-        axis = xr.ndim - n + i
-        xr, xi = _complex_axis_dft(xr, xi, axis, fft_shape[i], inverse=True)
-    cr, ci = (jnp.asarray(m) for m in _irfft_mats(fft_shape[-1]))
-    return _axis_einsum(xr, cr, xr.ndim - 1) + _axis_einsum(xi, ci, xi.ndim - 1)
+    first = xr.ndim - n
+    for i in range(1, n):
+        xr, xi = _complex_axis_dft(xr, xi, first + i, fft_shape[i], inverse=True)
+    cr, ci = (jnp.asarray(m) for m in _irfft_mats(fft_shape[0]))
+    return _axis_einsum(xr, cr, first) + _axis_einsum(xi, ci, first)
 
 
 def spectral_contract_split(sig_r, sig_i, ker_r, ker_i, groups: int):

@@ -35,11 +35,16 @@ def force_matmul_dft(monkeypatch):
     ((1, 2, 8, 9, 10), (8, 10, 12)),
 ])
 def test_rfftn_matmul_vs_numpy(shape, fft_shape):
+    """The module's convention halves the FIRST spatial axis (lane-width
+    reasons — see rfftn_matmul docstring): numpy equivalent is rfftn with
+    the first spatial axis listed last."""
     rng = np.random.default_rng(0)
     x = rng.standard_normal(shape).astype(np.float32)
     fr, fi = rfftn_matmul(jnp.asarray(x), fft_shape)
     n = len(fft_shape)
-    ref = np.fft.rfftn(x, s=fft_shape, axes=tuple(range(-n, 0)))
+    axes = tuple(range(-n + 1, 0)) + (-n,)  # rfft applies to axes[-1]
+    s = fft_shape[1:] + (fft_shape[0],)
+    ref = np.fft.rfftn(x, s=s, axes=axes)
     got = np.asarray(fr) + 1j * np.asarray(fi)
     assert np.abs(got - ref).max() < 1e-4
 
@@ -65,8 +70,10 @@ def test_implicit_zero_padding_matches_explicit():
     rng = np.random.default_rng(3)
     k = rng.standard_normal((4, 3, 5, 5)).astype(np.float32)
     fr, fi = rfftn_matmul(jnp.asarray(k), (32, 32))
-    ref = np.fft.rfftn(k, s=(32, 32), axes=(-2, -1))
-    assert np.abs(np.asarray(fr) + 1j * np.asarray(fi) - ref).max() < 1e-4
+    k_pad = np.pad(k, ((0, 0), (0, 0), (0, 27), (0, 27)))
+    fr2, fi2 = rfftn_matmul(jnp.asarray(k_pad), (32, 32))
+    assert np.abs(np.asarray(fr) - np.asarray(fr2)).max() < 1e-4
+    assert np.abs(np.asarray(fi) - np.asarray(fi2)).max() < 1e-4
 
 
 @pytest.mark.parametrize("ndim,size,groups", [(1, 33, 1), (2, 20, 2), (3, 9, 1)])
