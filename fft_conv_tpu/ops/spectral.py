@@ -115,7 +115,113 @@ def _axis_einsum(x: jax.Array, mat: jax.Array, axis: int) -> jax.Array:
     return jnp.einsum(spec, x, mat, precision=_PRECISION)
 
 
+# Full-DFT axes at least this long use the two-factor (four-step)
+# decomposition instead of a dense DFT matrix. Measured on v5e: despite 10x
+# fewer flops at N=512, the small-factor contractions (32/16) waste the MXU
+# and the extra twiddle/reshape passes make it NET SLOWER than the dense
+# matrix (2.49 ms vs 1.66 ms for the 2D K=34 conv) — so it only engages
+# beyond the current use_matmul_dft range, i.e. it is kept (correct, tested)
+# for a future extension of the matmul path to longer axes.
+_FOURSTEP_MIN = 4096
+
+
+def _fourstep_factors(n: int) -> Optional[Tuple[int, int]]:
+    """Most-square power-of-two split, or None if n isn't a pow2 >= min."""
+    if n < _FOURSTEP_MIN or n & (n - 1):
+        return None
+    log = n.bit_length() - 1
+    n1 = 1 << ((log + 1) // 2)
+    return n1, n // n1
+
+
+@lru_cache(maxsize=None)
+def _fourstep_mats(n1: int, n2: int, inverse: bool):
+    """Split f1/f2/twiddle factor matrices (f32) for a length-n1*n2 DFT."""
+    n = n1 * n2
+    j1 = np.arange(n1)
+    j2 = np.arange(n2)
+    sign = 2.0 if inverse else -2.0
+    a1 = sign * np.pi * np.outer(j1, j1) / n1
+    a2 = sign * np.pi * np.outer(j2, j2) / n2
+    at = sign * np.pi * np.outer(j1, j2) / n
+    scale = 1.0 / n if inverse else 1.0
+    return tuple(
+        np.ascontiguousarray(m, np.float32)
+        for m in (
+            np.cos(a1), np.sin(a1),
+            np.cos(a2) * scale, np.sin(a2) * scale,
+            np.cos(at), np.sin(at),
+        )
+    )
+
+
+def _axis_fourstep(xr, xi, axis, n, inverse, in_len=None):
+    """Two-factor DFT of one axis; bins come out SCRAMBLED along the axis.
+
+    Scrambling is harmless for convolution: both operands pass through the
+    same transform, the MAC is elementwise, and the inverse (same
+    factorization, conjugate matrices) unscrambles. Real rfft/irfft axes
+    keep natural order, so only full-DFT axes ever scramble.
+
+    ``in_len`` < n declares trailing zeros (implicit padding): only
+    ceil(in_len/n2) input rows are nonzero, so stage 1 contracts a
+    row-sliced factor matrix — the kernel-spectrum fast path.
+    """
+    n1, n2 = _fourstep_factors(n)
+    f1r, f1i, f2r, f2i, twr, twi = (
+        jnp.asarray(m) for m in _fourstep_mats(n1, n2, inverse)
+    )
+    rows = n1
+    if not inverse and in_len is not None and in_len < n:
+        rows = -(-in_len // n2)
+        pad = [(0, 0)] * xr.ndim
+        pad[axis] = (0, rows * n2 - in_len)
+        xr = jnp.pad(xr, pad)
+        xi = jnp.pad(xi, pad)
+        f1r = f1r[:rows]
+        f1i = f1i[:rows]
+
+    # split the axis (row-major, free) into (rows, n2)
+    def split(a):
+        return a.reshape(*a.shape[:axis], rows, n2, *a.shape[axis + 1:])
+
+    def cmul_mat(ar, ai, mr, mi, ax):
+        re = _axis_einsum(ar, mr, ax) - _axis_einsum(ai, mi, ax)
+        im = _axis_einsum(ar, mi, ax) + _axis_einsum(ai, mr, ax)
+        return re, im
+
+    xr, xi = split(xr), split(xi)
+    # twiddle tw[k1, j2] broadcast across the other dims
+    shape = [1] * xr.ndim
+    shape[axis], shape[axis + 1] = n1, n2
+    tr = twr.reshape(shape)
+    ti = twi.reshape(shape)
+
+    if not inverse:
+        # forward: contract j1 -> k1, twiddle[k1, j2], contract j2 -> k2
+        yr, yi = cmul_mat(xr, xi, f1r, f1i, axis)
+        zr = yr * tr - yi * ti
+        zi = yr * ti + yi * tr
+        wr, wi = cmul_mat(zr, zi, f2r, f2i, axis + 1)
+    else:
+        # inverse reverses the stage order: contract k2 -> j2 first, then
+        # the conjugate twiddle (still indexed [k1, j2]), then k1 -> j1.
+        yr, yi = cmul_mat(xr, xi, f2r, f2i, axis + 1)
+        zr = yr * tr - yi * ti
+        zi = yr * ti + yi * tr
+        wr, wi = cmul_mat(zr, zi, f1r, f1i, axis)
+
+    def merge(a):
+        return a.reshape(*a.shape[:axis], n, *a.shape[axis + 2:])
+
+    return merge(wr), merge(wi)
+
+
 def _complex_axis_dft(xr, xi, axis, n, inverse, in_len=None):
+    # Large pow2 axes: factorized transform (used for signal AND kernel so
+    # their scrambled bin orders stay identical).
+    if _fourstep_factors(n) is not None:
+        return _axis_fourstep(xr, xi, axis, n, inverse, in_len=in_len)
     mr, mi = _dft_mats(n, inverse)
     if in_len is not None and in_len < n:
         # implicit zero-padding: only the first in_len rows contribute

@@ -121,6 +121,22 @@ def test_forced_matmul_gradients(force_matmul_dft):
     _assert_almost_equal(gw, w1.grad.numpy())
 
 
+def test_fourstep_axis_branch(force_matmul_dft, monkeypatch):
+    """Scrambled-bin factorized DFT on large pow2 full-DFT axes: forward AND
+    reversed-stage inverse (the inverse-order bug farm) round-trip through a
+    real conv. The threshold is lowered so small test shapes take the
+    branch."""
+    monkeypatch.setattr(spectral, "_FOURSTEP_MIN", 16)
+    from fft_conv_tpu import fft_conv
+
+    rng = np.random.default_rng(17)
+    sig = rng.standard_normal((1, 3, 24, 32)).astype(np.float32)  # axis1 pow2
+    w = rng.standard_normal((4, 3, 5, 5)).astype(np.float32)
+    y = fft_conv(jnp.asarray(sig), jnp.asarray(w), padding=2, impl="xla")
+    y_ref = F.conv2d(torch.tensor(sig), torch.tensor(w), padding=2).numpy()
+    _assert_almost_equal(y, y_ref)
+
+
 def test_use_matmul_dft_gating():
     assert not use_matmul_dft((512, 512), platform="cpu")
     assert use_matmul_dft((512, 512), platform="tpu")
