@@ -149,8 +149,12 @@ def benchmark_fori(
             def body(_, carry):
                 x, acc = carry
                 out = fn(x, *r, **kwargs)
-                s = _jnp.real(out).ravel()[0]
-                return (x + s * 1e-30, acc + s)
+                # consume EVERY output element: reading just out[0] lets XLA
+                # partially evaluate sliceable ops (a bare matmul timed as
+                # ~0 ms that way — measured); a full reduction cannot be
+                # sliced through.
+                s = _jnp.sum(_jnp.real(out)) * 1e-30
+                return (x + s, acc + s)
 
             _, acc = _lax.fori_loop(0, iters, body, (x, 0.0))
             return acc

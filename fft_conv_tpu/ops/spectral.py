@@ -233,19 +233,40 @@ def _complex_axis_dft(xr, xi, axis, n, inverse, in_len=None):
     return yr, yi
 
 
+def _contract_append(x: jax.Array, mat: jax.Array, pos: int) -> jax.Array:
+    """Contract position ``pos`` of x with dim 0 of mat; bins APPEND last.
+
+    The rotation primitive: keeping the contracted axis in place forces XLA
+    into a transpose-matmul-transpose (measured 0.271 ms at (2,8,512,512) x
+    (512,512) HIGHEST on v5e); removing it and appending the result axis is
+    matmul-natural (0.179 ms; 0.040 ms when pos is already last).
+    """
+    subs = _LETTERS[: x.ndim]
+    a = subs[pos]
+    out = subs.replace(a, "") + "z"
+    return jnp.einsum(f"{subs},{a}z->{out}", x, mat, precision=_PRECISION)
+
+
+def _cmul_contract_append(xr, xi, mr, mi, pos):
+    yr = _contract_append(xr, mr, pos) - _contract_append(xi, mi, pos)
+    yi = _contract_append(xr, mi, pos) + _contract_append(xi, mr, pos)
+    return yr, yi
+
+
 def rfftn_matmul(x: jax.Array, fft_shape) -> Tuple[jax.Array, jax.Array]:
     """Split re/im one-sided N-d DFT over the trailing len(fft_shape) axes.
 
-    Implicit zero-padding: instead of materializing a padded input, the DFT
-    matrices are row-sliced to the actual axis length — for a KxK kernel in
-    an S^2 transform this cuts the matmul flops by S/K per axis (~30x for
-    the 2D benchmark kernels).
+    Rotation pipeline: every step contracts the CURRENT first spatial
+    position and appends its bins last, so after n steps the bin axes sit
+    in natural order with zero explicit transposes. The one-sided (real)
+    transform is the first step — it must act while the data is still real
+    (per-axis hermitian symmetry doesn't survive other axes' transforms).
 
-    The one-sided (real) transform runs on the FIRST spatial axis, not the
-    last: its halved bin count (S/2+1, usually odd) would waste most of the
-    128-lane minor dimension; on a leading axis it costs only sublane
-    padding while the minor dim keeps the full axis length. Bin-order
-    conventions are internal — the MAC is elementwise and the inverse
+    Implicit zero-padding: the DFT matrices are row-sliced to the actual
+    axis length — for a KxK kernel in an S^2 transform this cuts the matmul
+    flops by S/K per axis (~30x for the 2D benchmark kernels).
+
+    Bin order/placement is internal: the MAC is elementwise and the inverse
     mirrors the forward, so only this module needs to agree with itself.
     """
     n = len(fft_shape)
@@ -253,24 +274,42 @@ def rfftn_matmul(x: jax.Array, fft_shape) -> Tuple[jax.Array, jax.Array]:
     first = x.ndim - n
 
     fr, fi = (jnp.asarray(m[: x.shape[first]]) for m in _rfft_mats(fft_shape[0]))
-    xr = _axis_einsum(x, fr, first)
-    xi = _axis_einsum(x, fi, first)
+    in_lens = [x.shape[first + i] for i in range(n)]
+    xr = _contract_append(x, fr, first)
+    xi = _contract_append(x, fi, first)
     for i in range(1, n):
-        xr, xi = _complex_axis_dft(
-            xr, xi, first + i, fft_shape[i], inverse=False,
-            in_len=x.shape[first + i],
+        # the axis to transform has rotated to position ``first``
+        nlen = fft_shape[i]
+        mr, mi = _dft_mats(nlen, inverse=False)
+        if in_lens[i] < nlen:
+            mr, mi = mr[: in_lens[i]], mi[: in_lens[i]]
+        xr, xi = _cmul_contract_append(
+            xr, xi, jnp.asarray(mr), jnp.asarray(mi), first
         )
     return xr, xi
 
 
 def irfftn_matmul(xr: jax.Array, xi: jax.Array, fft_shape) -> jax.Array:
-    """Inverse of rfftn_matmul: real output of shape (..., *fft_shape)."""
+    """Inverse of rfftn_matmul: real output of shape (..., *fft_shape).
+
+    Mirrors the rotation: full-DFT bins invert first (each sits at position
+    first+1 when its turn comes), the one-sided axis inverts last (valid
+    only once every other axis is back in the time domain), then one
+    moveaxis restores the spatial order (none needed for 1D).
+    """
     n = len(fft_shape)
     first = xr.ndim - n
     for i in range(1, n):
-        xr, xi = _complex_axis_dft(xr, xi, first + i, fft_shape[i], inverse=True)
+        mr, mi = _dft_mats(fft_shape[i], inverse=True)
+        xr, xi = _cmul_contract_append(
+            xr, xi, jnp.asarray(mr), jnp.asarray(mi),
+            first + 1 if n > 1 else first,
+        )
     cr, ci = (jnp.asarray(m) for m in _irfft_mats(fft_shape[0]))
-    return _axis_einsum(xr, cr, first) + _axis_einsum(xi, ci, first)
+    out = _contract_append(xr, cr, first) + _contract_append(xi, ci, first)
+    if n > 1:
+        out = jnp.moveaxis(out, -1, first)
+    return out
 
 
 def spectral_contract_split(sig_r, sig_i, ker_r, ker_i, groups: int):
