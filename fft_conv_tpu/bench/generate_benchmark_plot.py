@@ -19,8 +19,8 @@ import argparse
 import dataclasses
 import json
 import os
-from functools import partial
-from typing import Callable, Dict, Iterable, List, Optional, Tuple
+
+from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 

@@ -15,7 +15,7 @@ Reference -> TPU mapping (SURVEY §5 tracing/profiling):
 import gc
 import time
 from contextlib import contextmanager
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -32,7 +32,6 @@ pair of FFT convs (SURVEY §3.4): dx = conv_transpose(dy, w), dw =
 corr(x^T, dy^T) — routed through the composed ops (ops/functional.py).
 """
 
-import math
 from functools import lru_cache, partial
 from typing import Optional, Tuple
 
@@ -44,7 +43,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ops import functional as F
-from ..utils.shapes import next_pow2, to_ntuple
+from ..utils.shapes import to_ntuple
 from .fourstep import fft_factor_matrices, kernel_spectrum
 
 # ker spectra VMEM residency budget (bytes): Cout*Cin*N*8 must fit.

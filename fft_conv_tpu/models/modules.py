@@ -14,7 +14,6 @@ functional.py:109-114) and default init (see models/init.py) all match torch
 so checkpoints interop bit-for-bit.
 """
 
-import math
 from typing import Iterable, Optional, Tuple, Union
 
 import jax

@@ -27,7 +27,7 @@ from typing import Iterable, Optional, Union
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.functional import (
     _dilate_kernel,

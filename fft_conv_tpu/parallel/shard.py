@@ -25,7 +25,6 @@ from functools import partial
 from typing import Iterable, Optional, Union
 
 import jax
-import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 

@@ -13,9 +13,9 @@ of arrays. Two paths:
 """
 
 import os
-from typing import Any, Dict
+from typing import Dict
 
-import jax
+
 import jax.numpy as jnp
 import numpy as np
 
