@@ -6,9 +6,11 @@ from .fused1d import (
     plan_fft_conv1d,
     set_fused_precision,
 )
+from .fused2d import fft_conv2d_fused
 
 __all__ = [
     "fft_conv1d_fused",
+    "fft_conv2d_fused",
     "fft_conv_transpose1d_fused",
     "plan_fft_conv1d",
     "set_fused_precision",
