@@ -251,6 +251,12 @@ def _fused_call(b, nblk, n1, n2, cin, cout, v1, vrow, precision, interpret):
             bytes_accessed=(b * nblk * n * cin + b * nblk * v1 * n2 * cout) * 4,
             transcendentals=0,
         ),
+        # the 16 MiB default scoped-vmem cap is a compiler limit, not
+        # hardware: some shape/context combinations (e.g. under jvp in a
+        # training step) spill slightly past it (observed 16.55M)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
     )
 
