@@ -326,17 +326,24 @@ def fft_conv1d_fused(
     bias: Optional[jax.Array] = None,
     padding: int = 0,
     padding_mode: str = "constant",
+    stride: int = 1,
+    dilation: int = 1,
 ) -> jax.Array:
-    """Fused-Pallas 1D FFT convolution (stride=1, dilation=1, groups=1).
+    """Fused-Pallas 1D FFT convolution (groups=1).
 
-    Same semantics as ``ops.fft_conv(signal, kernel, bias, padding=padding)``
-    for the supported argument subset; raises ValueError otherwise. Falls
-    back to the composed path when no fused configuration fits (tiny
+    Same semantics as ``ops.fft_conv`` for the supported argument subset;
+    raises ValueError otherwise. Stride and dilation are wrapper
+    transformations around the unit-stride kernel: the kernel is
+    zero-stuffed before its spectrum is taken, and the full-resolution
+    output is stride-sliced afterwards — exactly what the reference does
+    around its FFT core (functional.py:49-57, 76-82), so no extra FFT work.
+    Falls back to the composed path when no fused configuration fits (tiny
     signals / huge channel counts) — use ``fft_conv`` directly for those.
     """
     if signal.ndim != 3 or kernel.ndim != 3:
         raise ValueError("fft_conv1d_fused expects (B, Cin, L) and (Cout, Cin, K)")
     padding_ = to_ntuple(padding, 1)
+    kernel = F._dilate_kernel(kernel, (dilation,))
     x = F._pad_signal(signal, padding_, padding_mode)
     b, cin, l_pad = x.shape
     cout, cin_k, k = kernel.shape
@@ -348,9 +355,11 @@ def fft_conv1d_fused(
     n = choose_fft_size(k, l_pad, cin, cout)
     if n is None:
         out = F.fft_conv(signal, kernel, None, padding=padding_,
-                         padding_mode=padding_mode)
+                         padding_mode=padding_mode, impl="xla")
     else:
         out = _fused_core(x.astype(jnp.float32), kernel.astype(jnp.float32), n)
+    if stride != 1:
+        out = out[:, :, ::stride]
     if bias is not None:
         out = out + bias.reshape(1, -1, 1)
     return out.astype(signal.dtype)

@@ -115,6 +115,32 @@ def test_fused_matches_composed(b, cin, cout, l, k, pad):
     _assert_close_scaled(y, y_ref)
 
 
+@pytest.mark.parametrize("stride,dilation", [(2, 1), (1, 2), (3, 2)])
+def test_fused_stride_dilation(stride, dilation):
+    """Stride/dilation as wrapper transforms around the fused kernel."""
+    rng = np.random.default_rng(stride * 10 + dilation)
+    sig = rng.standard_normal((2, 3, 4000)).astype(np.float32)
+    w = rng.standard_normal((4, 3, 100)).astype(np.float32)
+    bias = rng.standard_normal((4,)).astype(np.float32)
+    y = fft_conv1d_fused(jnp.asarray(sig), jnp.asarray(w), jnp.asarray(bias),
+                         padding=30, stride=stride, dilation=dilation)
+    y_ref = TF.conv1d(torch.tensor(sig), torch.tensor(w), torch.tensor(bias),
+                      padding=30, stride=stride, dilation=dilation).numpy()
+    _assert_close_scaled(y, y_ref)
+
+
+def test_impl_fused_stride_dispatch():
+    """The dispatcher routes strided/dilated 1D to the fused path now."""
+    rng = np.random.default_rng(3)
+    sig = jnp.asarray(rng.standard_normal((1, 2, 3000)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 2, 130)).astype(np.float32))
+    y_f = fft_conv(sig, w, stride=2, dilation=2, impl="fused")
+    y_x = fft_conv(sig, w, stride=2, dilation=2, impl="xla")
+    _assert_close_scaled(y_f, y_x)
+    with pytest.raises(ValueError):
+        fft_conv(sig, jnp.ones((4, 1, 130)), groups=2, impl="fused")
+
+
 def test_fused_gradients_match_composed():
     """custom_vjp backward (pair of composed FFT convs) vs AD of composed."""
     rng = np.random.default_rng(5)
@@ -206,7 +232,9 @@ def test_impl_dispatcher():
     y_auto = fft_conv(sig, w, impl="auto")
     assert np.array_equal(np.asarray(y_auto), np.asarray(y_xla))
     with pytest.raises(ValueError):
-        fft_conv(sig, w, stride=2, impl="fused")  # stride not fused-eligible
+        # groups not fused-eligible (stride/dilation are, since r1)
+        fft_conv(jnp.concatenate([sig, sig], 1), jnp.ones((4, 2, 130)),
+                 groups=2, impl="fused")
     with pytest.raises(ValueError):
         fft_conv(sig, w, impl="bogus")
 
