@@ -149,7 +149,7 @@ def _mm_right(x_re, x_im, m_re, m_im, precision):
     return re, im
 
 
-def _make_kernel(n1, n2, cin, cout, v1, vrow, precision):
+def _make_kernel(n1, n2, cin, cout, v1, vrow, precision, groups=1):
     def body(
         x_hbm, kr_ref, ki_ref,
         f1r, f1i, f2r, f2i, twr, twi, if1r, if1i, if2r, if2i,
@@ -183,17 +183,23 @@ def _make_kernel(n1, n2, cin, cout, v1, vrow, precision):
         # forward stage 2
         dr, di = _mm_right(cr, ci, f2r[...], f2i[...], precision)
 
-        # per-bin complex MAC over Cin (kernel spectra pre-conjugated)
+        # per-bin complex MAC over this out-channel's group of in-channels
+        # (kernel spectra pre-conjugated; group slices are static)
+        cpg = cin // groups
+        opg = cout // groups
         yr_parts = []
         yi_parts = []
         for o in range(cout):
-            kr_o = kr_ref[o]  # (N1, Cin, N2)
+            go = o // opg
+            dr_g = dr[:, go * cpg:(go + 1) * cpg, :]
+            di_g = di[:, go * cpg:(go + 1) * cpg, :]
+            kr_o = kr_ref[o]  # (N1, Cin/groups, N2)
             ki_o = ki_ref[o]
             yr_parts.append(
-                jnp.sum(dr * kr_o - di * ki_o, axis=1, keepdims=True)
+                jnp.sum(dr_g * kr_o - di_g * ki_o, axis=1, keepdims=True)
             )
             yi_parts.append(
-                jnp.sum(dr * ki_o + di * kr_o, axis=1, keepdims=True)
+                jnp.sum(dr_g * ki_o + di_g * kr_o, axis=1, keepdims=True)
             )
         yr = jnp.concatenate(yr_parts, axis=1)  # (N1, Cout, N2)
         yi = jnp.concatenate(yi_parts, axis=1)
@@ -215,20 +221,22 @@ def _make_kernel(n1, n2, cin, cout, v1, vrow, precision):
 
 
 @lru_cache(maxsize=None)
-def _fused_call(b, nblk, n1, n2, cin, cout, v1, vrow, precision, interpret):
+def _fused_call(b, nblk, n1, n2, cin, cout, v1, vrow, precision, interpret,
+                groups=1):
     """Builds the pallas_call for a given static configuration."""
     n = n1 * n2
+    cpg = cin // groups
     mat_spec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     grid_spec = pl.GridSpec(
         grid=(b, nblk),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # x: whole array in HBM
             pl.BlockSpec(
-                (cout, n1, cin, n2), lambda i, j: (0, 0, 0, 0),
+                (cout, n1, cpg, n2), lambda i, j: (0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (cout, n1, cin, n2), lambda i, j: (0, 0, 0, 0),
+                (cout, n1, cpg, n2), lambda i, j: (0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ] + [mat_spec() for _ in range(10)],
@@ -243,7 +251,7 @@ def _fused_call(b, nblk, n1, n2, cin, cout, v1, vrow, precision, interpret):
     )
     flops_cell = 2 * n * (2 * n1 + 4 * n2 + 4 * n2 + 2 * n1) * (cin + cout) // 2
     return pl.pallas_call(
-        _make_kernel(n1, n2, cin, cout, v1, vrow, precision),
+        _make_kernel(n1, n2, cin, cout, v1, vrow, precision, groups),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, nblk, v1, cout, n2), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -265,12 +273,14 @@ def _is_cpu() -> bool:
     return jax.devices()[0].platform == "cpu"
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _fused_core(x_padded: jax.Array, kernel: jax.Array, n: int) -> jax.Array:
-    return _fused_forward(x_padded, kernel, n)
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _fused_core(
+    x_padded: jax.Array, kernel: jax.Array, n: int, groups: int = 1
+) -> jax.Array:
+    return _fused_forward(x_padded, kernel, n, groups)
 
 
-def _fused_forward(x_padded, kernel, n, spectra=None):
+def _fused_forward(x_padded, kernel, n, groups=1, spectra=None):
     b, cin, l_pad = x_padded.shape
     cout, _, k = kernel.shape
     n1, n2 = fused_split(n)
@@ -293,7 +303,7 @@ def _fused_forward(x_padded, kernel, n, spectra=None):
 
     call = _fused_call(
         b, nblk, n1, n2, cin, cout, v1, v // n2,
-        _PRECISION_MODE, _is_cpu(),
+        _PRECISION_MODE, _is_cpu(), groups,
     )
     out = call(x4.astype(jnp.float32), kr, ki, *consts)
     # (B, nblk, V1, Cout, N2) -> (B, Cout, nblk*V) -> crop
@@ -301,20 +311,32 @@ def _fused_forward(x_padded, kernel, n, spectra=None):
     return lax.slice_in_dim(out, 0, v_total, axis=2)
 
 
-def _fused_fwd(x_padded, kernel, n):
-    return _fused_forward(x_padded, kernel, n), (x_padded, kernel)
+def _fused_fwd(x_padded, kernel, n, groups):
+    return _fused_forward(x_padded, kernel, n, groups), (x_padded, kernel)
 
 
-def _fused_bwd(n, residuals, g):
+def _fused_bwd(n, groups, residuals, g):
     x_padded, kernel = residuals
-    # dx = full convolution of g with w == conv_transpose (SURVEY §3.4)
-    dx = F.fft_conv_transpose(g, kernel)
+    # dx = full convolution of g with w == conv_transpose (SURVEY §3.4);
+    # the forward kernel layout (Cout, Cin/g, K) is exactly conv_transpose's
+    # (in=Cout, out/g=Cin/g, K) layout, groups included.
+    dx = F.fft_conv_transpose(g, kernel, groups=groups, impl="xla")
     # dw[o,i,t] = sum_{b,s} g[b,o,s] x[b,i,s+t]: correlation with batch as
-    # the contraction channel
-    dw = F.fft_conv(
-        jnp.swapaxes(x_padded, 0, 1), jnp.swapaxes(g, 0, 1)
-    )
-    return dx, jnp.swapaxes(dw, 0, 1)
+    # the contraction channel, per group
+    if groups == 1:
+        dw = F.fft_conv(
+            jnp.swapaxes(x_padded, 0, 1), jnp.swapaxes(g, 0, 1), impl="xla"
+        )
+        return dx, jnp.swapaxes(dw, 0, 1)
+    b, cin, l_pad = x_padded.shape
+    cout = g.shape[1]
+    cpg, opg = cin // groups, cout // groups
+    xg = x_padded.reshape(b, groups, cpg, l_pad).transpose(1, 2, 0, 3)
+    gg = g.reshape(b, groups, opg, g.shape[-1]).transpose(1, 2, 0, 3)
+    dw = jax.vmap(lambda a, c: F.fft_conv(a, c, impl="xla"))(xg, gg)
+    # (groups, Cin/g, Cout/g, K) -> (Cout, Cin/g, K)
+    dw = dw.transpose(0, 2, 1, 3).reshape(cout, cpg, -1)
+    return dx, dw
 
 
 _fused_core.defvjp(_fused_fwd, _fused_bwd)
@@ -328,8 +350,9 @@ def fft_conv1d_fused(
     padding_mode: str = "constant",
     stride: int = 1,
     dilation: int = 1,
+    groups: int = 1,
 ) -> jax.Array:
-    """Fused-Pallas 1D FFT convolution (groups=1).
+    """Fused-Pallas 1D FFT convolution.
 
     Same semantics as ``ops.fft_conv`` for the supported argument subset;
     raises ValueError otherwise. Stride and dilation are wrapper
@@ -337,27 +360,35 @@ def fft_conv1d_fused(
     zero-stuffed before its spectrum is taken, and the full-resolution
     output is stride-sliced afterwards — exactly what the reference does
     around its FFT core (functional.py:49-57, 76-82), so no extra FFT work.
-    Falls back to the composed path when no fused configuration fits (tiny
-    signals / huge channel counts) — use ``fft_conv`` directly for those.
+    Groups restrict each out-channel's in-kernel MAC to its group's
+    in-channel slice (static slices, zero overhead). Falls back to the
+    composed path when no fused configuration fits (tiny signals / huge
+    channel counts) — use ``fft_conv`` directly for those.
     """
     if signal.ndim != 3 or kernel.ndim != 3:
-        raise ValueError("fft_conv1d_fused expects (B, Cin, L) and (Cout, Cin, K)")
+        raise ValueError("fft_conv1d_fused expects (B, Cin, L) and (Cout, Cin/g, K)")
     padding_ = to_ntuple(padding, 1)
     kernel = F._dilate_kernel(kernel, (dilation,))
     x = F._pad_signal(signal, padding_, padding_mode)
     b, cin, l_pad = x.shape
     cout, cin_k, k = kernel.shape
-    if cin_k != cin:
-        raise ValueError(f"kernel Cin {cin_k} != signal Cin {cin}")
+    if cin_k * groups != cin:
+        raise ValueError(
+            f"kernel Cin/groups {cin_k} x groups {groups} != signal Cin {cin}"
+        )
+    if cout % groups:
+        raise ValueError(f"out_channels {cout} not divisible by groups {groups}")
     if k > l_pad:
         raise ValueError("Kernel size can't be greater than actual input size")
 
-    n = choose_fft_size(k, l_pad, cin, cout)
+    n = choose_fft_size(k, l_pad, cin_k, cout)
     if n is None:
         out = F.fft_conv(signal, kernel, None, padding=padding_,
-                         padding_mode=padding_mode, impl="xla")
+                         groups=groups, padding_mode=padding_mode, impl="xla")
     else:
-        out = _fused_core(x.astype(jnp.float32), kernel.astype(jnp.float32), n)
+        out = _fused_core(
+            x.astype(jnp.float32), kernel.astype(jnp.float32), n, groups
+        )
     if stride != 1:
         out = out[:, :, ::stride]
     if bias is not None:
@@ -420,7 +451,7 @@ def _fused_planned_fwd(x_padded, kernel, kr, ki, n):
 
 
 def _fused_planned_bwd(n, residuals, g):
-    dx, dw = _fused_bwd(n, residuals, g)
+    dx, dw = _fused_bwd(n, 1, residuals, g)
     return dx, dw, None, None
 
 

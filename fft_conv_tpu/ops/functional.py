@@ -222,12 +222,13 @@ def fft_conv(
     if impl != "xla":
         eligible = (
             n == 1
-            and groups == 1
             and padding_mode in ("constant", "zeros")
+            and signal.shape[1] % groups == 0
+            and kernel.shape[0] % groups == 0
         )
         if impl == "fused" and not eligible:
             raise ValueError(
-                "impl='fused' requires 1D, groups=1, zero padding mode"
+                "impl='fused' requires 1D with a zero padding mode"
             )
         # auto: the fused kernel's per-block FFT work only pays off once the
         # kernel is large enough to be in FFT-conv territory at all
@@ -239,11 +240,11 @@ def fft_conv(
             l_pad = signal.shape[-1] + 2 * padding_[0]
             k_dil = dilated_size(kernel.shape[-1], dilation_[0])
             if choose_fft_size(
-                k_dil, l_pad, signal.shape[1], kernel.shape[0]
+                k_dil, l_pad, signal.shape[1] // groups, kernel.shape[0]
             ) is not None:
                 return fft_conv1d_fused(
                     signal, kernel, bias, padding=padding_[0],
-                    stride=stride_[0], dilation=dilation_[0],
+                    stride=stride_[0], dilation=dilation_[0], groups=groups,
                 )
             if impl == "fused":
                 raise ValueError(

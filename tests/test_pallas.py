@@ -115,6 +115,38 @@ def test_fused_matches_composed(b, cin, cout, l, k, pad):
     _assert_close_scaled(y, y_ref)
 
 
+@pytest.mark.parametrize("groups", [2, 3])
+def test_fused_groups(groups):
+    """Grouped MAC: static per-group in-channel slices in the kernel."""
+    rng = np.random.default_rng(groups)
+    cin, cout = 3 * groups, 2 * groups
+    sig = rng.standard_normal((2, cin, 4000)).astype(np.float32)
+    w = rng.standard_normal((cout, cin // groups, 120)).astype(np.float32)
+    bias = rng.standard_normal((cout,)).astype(np.float32)
+    y = fft_conv1d_fused(jnp.asarray(sig), jnp.asarray(w), jnp.asarray(bias),
+                         groups=groups)
+    y_ref = TF.conv1d(torch.tensor(sig), torch.tensor(w), torch.tensor(bias),
+                      groups=groups).numpy()
+    _assert_close_scaled(y, y_ref)
+
+
+def test_fused_groups_gradients():
+    rng = np.random.default_rng(7)
+    sig = jnp.asarray(rng.standard_normal((2, 4, 3000)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((6, 2, 100)).astype(np.float32))
+
+    def loss_fused(s, w_):
+        return (fft_conv1d_fused(s, w_, groups=2) ** 2).mean()
+
+    def loss_composed(s, w_):
+        return (fft_conv(s, w_, groups=2, impl="xla") ** 2).mean()
+
+    gs, gw = jax.grad(loss_fused, argnums=(0, 1))(sig, w)
+    gs_ref, gw_ref = jax.grad(loss_composed, argnums=(0, 1))(sig, w)
+    _assert_close_scaled(gs, gs_ref)
+    _assert_close_scaled(gw, gw_ref)
+
+
 @pytest.mark.parametrize("stride,dilation", [(2, 1), (1, 2), (3, 2)])
 def test_fused_stride_dilation(stride, dilation):
     """Stride/dilation as wrapper transforms around the fused kernel."""
@@ -137,8 +169,10 @@ def test_impl_fused_stride_dispatch():
     y_f = fft_conv(sig, w, stride=2, dilation=2, impl="fused")
     y_x = fft_conv(sig, w, stride=2, dilation=2, impl="xla")
     _assert_close_scaled(y_f, y_x)
-    with pytest.raises(ValueError):
-        fft_conv(sig, jnp.ones((4, 1, 130)), groups=2, impl="fused")
+    # grouped dispatch goes fused too now
+    y_g = fft_conv(sig, jnp.asarray(np.random.default_rng(0).standard_normal(
+        (4, 1, 130)).astype(np.float32)), groups=2, impl="fused")
+    assert y_g.shape == (1, 4, 2871)
 
 
 def test_fused_gradients_match_composed():
@@ -232,9 +266,9 @@ def test_impl_dispatcher():
     y_auto = fft_conv(sig, w, impl="auto")
     assert np.array_equal(np.asarray(y_auto), np.asarray(y_xla))
     with pytest.raises(ValueError):
-        # groups not fused-eligible (stride/dilation are, since r1)
-        fft_conv(jnp.concatenate([sig, sig], 1), jnp.ones((4, 2, 130)),
-                 groups=2, impl="fused")
+        # 2D is not fused-eligible through this dispatcher
+        fft_conv(jnp.ones((1, 2, 64, 64)), jnp.ones((3, 2, 5, 5)),
+                 impl="fused")
     with pytest.raises(ValueError):
         fft_conv(sig, w, impl="bogus")
 
