@@ -220,16 +220,15 @@ def fft_conv(
     if impl not in ("auto", "xla", "fused"):
         raise ValueError(f"unknown impl: {impl!r}")
     if impl != "xla":
+        # padding modes are applied in the wrapper before the kernel runs,
+        # so every supported mode is fused-eligible
         eligible = (
             n == 1
-            and padding_mode in ("constant", "zeros")
             and signal.shape[1] % groups == 0
             and kernel.shape[0] % groups == 0
         )
         if impl == "fused" and not eligible:
-            raise ValueError(
-                "impl='fused' requires 1D with a zero padding mode"
-            )
+            raise ValueError("impl='fused' requires 1D input")
         # auto: the fused kernel's per-block FFT work only pays off once the
         # kernel is large enough to be in FFT-conv territory at all
         if impl == "auto" and kernel.shape[-1] < 64:
@@ -244,6 +243,7 @@ def fft_conv(
             ) is not None:
                 return fft_conv1d_fused(
                     signal, kernel, bias, padding=padding_[0],
+                    padding_mode=padding_mode,
                     stride=stride_[0], dilation=dilation_[0], groups=groups,
                 )
             if impl == "fused":

@@ -161,6 +161,19 @@ def test_fused_stride_dilation(stride, dilation):
     _assert_close_scaled(y, y_ref)
 
 
+@pytest.mark.parametrize("mode", ["reflect", "circular", "replicate"])
+def test_fused_padding_modes(mode):
+    """Padding modes apply in the wrapper, so all are fused-eligible."""
+    rng = np.random.default_rng(42)
+    sig = rng.standard_normal((1, 2, 3000)).astype(np.float32)
+    w = rng.standard_normal((3, 2, 128)).astype(np.float32)
+    y = fft_conv(jnp.asarray(sig), jnp.asarray(w), padding=64,
+                 padding_mode=mode, impl="fused")
+    x_p = TF.pad(torch.tensor(sig), (64, 64), mode=mode)
+    y_ref = TF.conv1d(x_p, torch.tensor(w)).numpy()
+    _assert_close_scaled(y, y_ref)
+
+
 def test_impl_fused_stride_dispatch():
     """The dispatcher routes strided/dilated 1D to the fused path now."""
     rng = np.random.default_rng(3)
