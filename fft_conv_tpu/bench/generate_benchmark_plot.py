@@ -190,14 +190,17 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--out", default="doc")
     parser.add_argument("--quick", action="store_true",
-                        help="3 kernel sizes per config, 6 iterations")
+                        help="3 kernel sizes per config")
     args = parser.parse_args()
     configs = CONFIGS
     if args.quick:
+        # keep num_iterations high even in quick mode: the differential
+        # timing's noise floor is ~0.5 ms at 6 iterations, swamping sub-ms
+        # rows; compiles dominate the wall time either way
         configs = [
             dataclasses.replace(
                 c, kernel_sizes=c.kernel_sizes[:: max(1, len(c.kernel_sizes) // 3)],
-                num_iterations=6,
+                num_iterations=24,
             )
             for c in CONFIGS
         ]
