@@ -480,11 +480,14 @@ def fft_conv_transpose1d_fused(
     cin, cout, k = kernel.shape
     if signal.shape[1] != cin:
         raise ValueError(f"kernel Cin {cin} != signal Cin {signal.shape[1]}")
-    if padding >= k:
-        raise ValueError(f"padding {padding} must be < kernel size {k}")
+    out_len = signal.shape[2] + k - 1 - 2 * padding
+    if out_len < 1:
+        raise ValueError(
+            f"non-positive output length {out_len} (L={signal.shape[2]}, "
+            f"K={k}, padding={padding})"
+        )
     w = jnp.swapaxes(jnp.flip(kernel, axis=2), 0, 1)  # (Cout, Cin, K)
     out = fft_conv1d_fused(signal, w, None, padding=k - 1)
-    out_len = signal.shape[2] + k - 1 - 2 * padding
     out = lax.slice_in_dim(out, padding, padding + out_len, axis=2)
     if bias is not None:
         out = out + bias.reshape(1, -1, 1)

@@ -68,10 +68,6 @@ _PAD_MODES = {
 }
 
 
-def _complex_dtype(real_dtype) -> jnp.dtype:
-    return jnp.complex128 if real_dtype == jnp.float64 else jnp.complex64
-
-
 def complex_matmul(
     a: jax.Array,
     b: jax.Array,
@@ -217,6 +213,18 @@ def fft_conv(
     padding_ = to_ntuple(padding, n)
     dilation_ = to_ntuple(dilation, n)
 
+    if padding_mode not in _PAD_MODES:
+        raise ValueError(f"Unsupported padding_mode: {padding_mode!r}")
+    if signal.shape[1] % groups or kernel.shape[0] % groups:
+        raise ValueError(
+            f"in_channels {signal.shape[1]} and out_channels "
+            f"{kernel.shape[0]} must both be divisible by groups {groups}"
+        )
+    if signal.shape[1] // groups != kernel.shape[1]:
+        raise ValueError(
+            f"kernel expects {kernel.shape[1]} in-channels per group, signal "
+            f"has {signal.shape[1]} / groups {groups}"
+        )
     if impl not in ("auto", "xla", "fused"):
         raise ValueError(f"unknown impl: {impl!r}")
     if impl != "xla":
@@ -334,6 +342,16 @@ def fft_conv_transpose(
     output_padding_ = to_ntuple(output_padding, n)
     dilation_ = to_ntuple(dilation, n)
 
+    if signal.shape[1] != kernel.shape[0]:
+        raise ValueError(
+            f"signal in_channels {signal.shape[1]} != kernel dim 0 "
+            f"{kernel.shape[0]} (transposed-conv layout is (Cin, Cout/g, *k))"
+        )
+    if kernel.shape[0] % groups:
+        raise ValueError(
+            f"in_channels {kernel.shape[0]} must be divisible by groups "
+            f"{groups}"
+        )
     if impl not in ("auto", "xla", "fused"):
         raise ValueError(f"unknown impl: {impl!r}")
     if impl != "xla":

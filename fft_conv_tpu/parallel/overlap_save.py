@@ -33,7 +33,6 @@ from ..ops.functional import (
     _dilate_kernel,
     _freq_domain_conv,
     _pad_signal,
-    _spectral_contract,
 )
 from ..utils.shapes import fft_even_shape, to_ntuple
 

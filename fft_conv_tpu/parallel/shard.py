@@ -36,6 +36,8 @@ IntOrTuple = Union[int, Iterable[int]]
 
 def _tp_plan(groups: int, cin: int, cout: int, model_size: int, tp_mode: str):
     """Returns (signal_channel_sharded, local_groups) and validates."""
+    if tp_mode not in ("in", "out"):
+        raise ValueError(f"tp_mode must be 'in' or 'out', got {tp_mode!r}")
     if model_size == 1:
         return False, groups
     if tp_mode == "in":
