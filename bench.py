@@ -13,26 +13,30 @@ vs_baseline  = value / 5.0 — fraction of the BASELINE.md target
                (">=5x speedup vs XLA direct conv for kernels >= 128
                elements on v5e"); >= 1.0 means target met.
 
-For each config the framework's time is the better of the composed-XLA path
-and the fused Pallas path (1D). Timing uses device-side fori-loop chaining
-(bench/harness.py benchmark_fori) — host-side per-dispatch timing through
-the TPU tunnel is unreliable (block_until_ready returns early).
+For each config the framework's time is the best of its paths: composed-XLA
+(impl="xla"), tiled overlap-save (impl="tiled"), and the fused Pallas kernel
+(1D). Every measured path is also PARITY-GATED against the composed path
+(which the CPU test grid validates against torch): a mismatch beyond the
+scale-aware tolerance fails the whole benchmark loudly, so each driver bench
+run doubles as a real-hardware correctness check of the fast paths.
+
+Timing uses device-side fori-loop chaining (bench/harness.py
+benchmark_fori) — host-side per-dispatch timing through the TPU tunnel is
+unreliable (block_until_ready returns early).
 """
 
 import json
 import math
 import sys
-import time
 
 import numpy as np
 
 
 def direct_conv_fn(ndim):
     """XLA direct-conv baseline: lax.conv_general_dilated, NCHW layout."""
-    import jax.numpy as jnp
     from jax import jit, lax
 
-    spatial = "DHW"[3 - ndim :]
+    spatial = "DHW"[3 - ndim:]
     dn = ("NC" + spatial, "OI" + spatial, "NC" + spatial)
 
     @jit
@@ -46,13 +50,29 @@ def direct_conv_fn(ndim):
     return f
 
 
+def _assert_parity(name, ref, got, config):
+    """Scale-aware two-threshold check: the fast path must match the
+    composed path on real hardware (catches Mosaic/layout miscompiles)."""
+    ref = np.asarray(ref)
+    got = np.asarray(got)
+    scale = max(1.0, float(np.abs(ref).max()))
+    err = np.abs(ref - got)
+    if err.mean() >= 5e-5 * scale or err.max() >= 1e-4 * scale:
+        raise AssertionError(
+            f"PARITY FAILURE [{config}] {name} vs composed: "
+            f"mean {err.mean():.3e} max {err.max():.3e} scale {scale:.1f}"
+        )
+
+
 def main():
     import jax
+
     import jax.numpy as jnp
 
     from fft_conv_tpu import fft_conv
     from fft_conv_tpu.bench.harness import benchmark_fori
     from fft_conv_tpu.kernels.fused1d import fft_conv1d_fused
+    from fft_conv_tpu.kernels.fused2d import fft_conv2d_fused
 
     platform = jax.devices()[0].platform
     rng = np.random.default_rng(0)
@@ -78,29 +98,43 @@ def main():
             rng.standard_normal((8, 8) + (k,) * ndim).astype(np.float32)
         )
         bias = jnp.asarray(rng.standard_normal((8,)).astype(np.float32))
+        config_name = f"{ndim}d_L{size}_K{k}"
 
-        t_fft = benchmark_fori(
-            lambda s, k, b: fft_conv(s, k, b, impl="xla"), sig, ker, bias,
-            num_iterations=iters,
-        ).mean
-        best = "composed"
+        paths = {"composed": lambda s, k_, b: fft_conv(s, k_, b, impl="xla")}
+        paths["tiled"] = lambda s, k_, b: fft_conv(s, k_, b, impl="tiled")
         if ndim == 1:
+            paths["fused"] = fft_conv1d_fused
+        if ndim == 2:
+            paths["fused"] = fft_conv2d_fused
+
+        ref_out = None
+        t_fft, best = None, None
+        for name, fn in paths.items():
             try:
-                t_fused = benchmark_fori(
-                    fft_conv1d_fused, sig, ker, bias, num_iterations=iters,
-                ).mean
-                if t_fused < t_fft:
-                    t_fft, best = t_fused, "fused"
-            except Exception as e:  # fused path must never sink the bench
-                print(f"# fused path failed for {ndim}d K={k}: {e}",
+                out = jax.jit(fn)(sig, ker, bias)
+                jax.block_until_ready(out)
+                if name == "composed":
+                    ref_out = np.asarray(out)
+                else:
+                    _assert_parity(name, ref_out, out, config_name)
+                t = benchmark_fori(fn, sig, ker, bias,
+                                   num_iterations=iters).mean
+            except AssertionError:
+                raise  # parity failures must sink the benchmark
+            except Exception as e:  # a slow path may not fit; keep going
+                print(f"# {name} path failed for {config_name}: {e}",
                       file=sys.stderr)
+                continue
+            if t_fft is None or t < t_fft:
+                t_fft, best = t, name
+
         t_direct = benchmark_fori(
             direct_conv_fn(ndim), sig, ker, bias, num_iterations=iters,
         ).mean
         speedups.append(t_direct / t_fft)
         details.append(
             {
-                "config": f"{ndim}d_L{size}_K{k}",
+                "config": config_name,
                 "fft_ms": round(t_fft * 1e3, 3),
                 "direct_ms": round(t_direct * 1e3, 3),
                 "speedup": round(t_direct / t_fft, 2),
@@ -118,6 +152,7 @@ def main():
                 "unit": "x",
                 "vs_baseline": round(value / 5.0, 3),
                 "platform": platform,
+                "parity_gate": "fast paths asserted against composed",
                 "details": details,
             }
         )

@@ -104,7 +104,7 @@ def run_sweep(configs: Optional[List[BenchConfig]] = None) -> List[dict]:
     import jax
     import jax.numpy as jnp
 
-    from .harness import benchmark_fori, _device_peak_bytes
+    from .harness import benchmark_fori, peak_memory_gib
 
     configs = configs or CONFIGS
     platform = jax.devices()[0].platform
@@ -134,6 +134,7 @@ def run_sweep(configs: Optional[List[BenchConfig]] = None) -> List[dict]:
                         fn, sig, arg_k, bias,
                         num_iterations=cfg.num_iterations,
                     )
+                    mem, mem_src = peak_memory_gib(fn, sig, arg_k, bias)
                     rows.append(
                         {
                             "config": cfg.label,
@@ -141,7 +142,8 @@ def run_sweep(configs: Optional[List[BenchConfig]] = None) -> List[dict]:
                             "kernel_size": k,
                             "time_mean_s": t.mean,
                             "time_std_s": t.std,
-                            "peak_mem_gib": _device_peak_bytes(),
+                            "peak_mem_gib": mem,
+                            "peak_mem_source": mem_src,
                             "platform": platform,
                         }
                     )
@@ -164,23 +166,38 @@ def plot(rows: List[dict], out_png: str) -> None:
         print("matplotlib unavailable; skipping plot")
         return
     configs = sorted({r["config"] for r in rows})
-    fig, axes = plt.subplots(1, len(configs), figsize=(5 * len(configs), 4))
-    if len(configs) == 1:
-        axes = [axes]
-    for ax, cfg in zip(axes, configs):
+    # two rows like the reference plot (reference generate_benchmark_plot.py:
+    # 162-199): execution time on top, peak memory below
+    fig, axes = plt.subplots(
+        2, len(configs), figsize=(5 * len(configs), 8), squeeze=False
+    )
+    for col, cfg in enumerate(configs):
+        ax_t, ax_m = axes[0][col], axes[1][col]
         for method in sorted({r["method"] for r in rows if r["config"] == cfg}):
             pts = sorted(
-                (r["kernel_size"], r["time_mean_s"], r["time_std_s"])
+                (
+                    r["kernel_size"],
+                    r["time_mean_s"],
+                    r["time_std_s"],
+                    r.get("peak_mem_gib", 0.0),
+                )
                 for r in rows
                 if r["config"] == cfg and r["method"] == method
             )
-            ks, means, stds = zip(*pts)
-            ax.errorbar(ks, means, yerr=stds, label=method, marker="o", ms=3)
-        ax.set_yscale("log")
-        ax.set_title(f"{cfg} execution time")
-        ax.set_xlabel("kernel size")
-        ax.set_ylabel("time (s)")
-        ax.legend(fontsize=7)
+            ks, means, stds, mems = zip(*pts)
+            ax_t.errorbar(ks, means, yerr=stds, label=method, marker="o", ms=3)
+            if any(m > 0 for m in mems):
+                ax_m.plot(ks, mems, label=method, marker="o", ms=3)
+        ax_t.set_yscale("log")
+        ax_t.set_title(f"{cfg} execution time")
+        ax_t.set_xlabel("kernel size")
+        ax_t.set_ylabel("time (s)")
+        ax_t.legend(fontsize=7)
+        ax_m.set_yscale("log")
+        ax_m.set_title(f"{cfg} peak memory")
+        ax_m.set_xlabel("kernel size")
+        ax_m.set_ylabel("memory (GiB)")
+        ax_m.legend(fontsize=7)
     fig.tight_layout()
     fig.savefig(out_png, dpi=120)
     print(f"wrote {out_png}")

@@ -44,6 +44,41 @@ def _device_peak_bytes() -> float:
     return 0.0
 
 
+def hlo_peak_gib(fn: Callable, *args, **kwargs) -> float:
+    """Peak memory of one ``fn(*args)`` call from compiled-HLO analysis.
+
+    The reference reads the CUDA allocator's peak
+    (reference benchmark_utils.py:23-37); through the axon TPU tunnel
+    ``memory_stats()`` is empty, so this measures the XLA-reported footprint
+    of the compiled executable instead: arguments + outputs + temp (live
+    intermediate) buffers — the deterministic equivalent of peak allocated
+    bytes for a single dispatch. Returns GiB, 0.0 when analysis is
+    unavailable.
+    """
+    try:
+        compiled = jax.jit(fn).lower(*args, **kwargs).compile()
+        m = compiled.memory_analysis()
+        if m is None:
+            return 0.0
+        total = (
+            getattr(m, "argument_size_in_bytes", 0)
+            + getattr(m, "output_size_in_bytes", 0)
+            + getattr(m, "temp_size_in_bytes", 0)
+        )
+        return float(total) / 2**30
+    except Exception:
+        return 0.0
+
+
+def peak_memory_gib(fn: Callable, *args, **kwargs) -> Tuple[float, str]:
+    """(peak GiB, source): device allocator stats when available, else the
+    compiled-HLO footprint of ``fn``."""
+    dev = _device_peak_bytes()
+    if dev > 0.0:
+        return dev, "device_stats"
+    return hlo_peak_gib(fn, *args, **kwargs), "hlo_analysis"
+
+
 @contextmanager
 def measure():
     """Times a block with device fencing; records wall time + peak GiB.

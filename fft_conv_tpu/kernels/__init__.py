@@ -6,12 +6,14 @@ from .fused1d import (
     plan_fft_conv1d,
     set_fused_precision,
 )
-from .fused2d import fft_conv2d_fused
+from .fused2d import fft_conv2d_fused, fft_conv_transpose2d_fused, tile_plan_2d
 
 __all__ = [
     "fft_conv1d_fused",
     "fft_conv2d_fused",
     "fft_conv_transpose1d_fused",
+    "fft_conv_transpose2d_fused",
+    "tile_plan_2d",
     "plan_fft_conv1d",
     "set_fused_precision",
     "choose_fft_size",

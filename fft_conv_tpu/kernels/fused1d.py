@@ -110,6 +110,9 @@ def set_fused_precision(mode: str) -> None:
     _PRECISION_MODE = mode
     if global_mode_changed:
         _fused_call.cache_clear()
+        from . import fused2d
+
+        fused2d._fused2d_call.cache_clear()
 
 
 def _split_bf16(x):

@@ -1,25 +1,30 @@
-"""Fused 2D FFT convolution — Pallas TPU kernel (experimental).
+"""Fused 2D FFT convolution — Pallas TPU tile kernel.
 
-Extends the 1D design (fused1d.py) to images: one VMEM pipeline per
-(batch, H-stripe) grid cell.
+v2 design (round 2): 2D overlap-save TILES, not whole-W stripes. Each
+(batch, tile-row, tile-col) grid cell runs the entire pipeline in VMEM:
 
-    DMA stripe (Cin, NH, W) -> W-axis rfft (rect matmuls) -> H-axis DFT
-    (dense NHxNH matmuls) -> per-out-channel: MAC over Cin + inverse H-DFT
-    + inverse W-rfft -> write (VH, W) valid rows
+    DMA (Cin, T1, T2) window -> H-axis one-sided DFT (rect MXU matmul) ->
+    W-axis full DFT (square MXU matmuls) -> per-out-channel MAC over Cin
+    (VPU) -> inverse W DFT -> inverse H irfft, valid rows only ->
+    write (V1, Cout, T2) block
 
-Blocking: overlap-save along H only (stripes of NH rows overlapping by
-K_h - 1; each emits VH = NH - K_h + 1 valid rows); W is transformed whole —
-the 2D benchmark sizes (<= 512 wide) fit VMEM per stripe. Kernel spectra
-(Cout, Cin, NH, WB, 2) exceed VMEM at useful sizes, so they stay in HBM and
-each out-channel's slice is DMA'd on demand inside the per-cout loop (the
-Y spectrum then never materializes for all couts at once).
+Why tiles beat whole-image transforms: a dense DFT matmul costs O(T) per
+output sample per axis, so T=128-256 tiles do ~3-4x fewer matmul flops than
+the 512-point transforms of the composed path at the benchmark sizes
+(reference doc/scripts/generate_benchmark_plot.py:139-148), and the fused
+pipeline eliminates every HBM spectra round trip on top. All matmul minor
+dims are exactly T2 in {128, 256} lanes — no layout padding anywhere.
 
-The W transform uses one-sided (rfft/irfft) dense matrices — valid because
-W is transformed FIRST while the stripe is still real. The H transform is a
-full complex DFT. All matmuls f32 HIGHEST (Mosaic has no HIGH).
+Tile geometry: V1 = 128 valid output rows per tile (H windows overlap by
+K1-1, FFT length T1 = 8-aligned K1-1+128, one-sided: NB1 = T1//2+1 bins);
+W uses the smallest T2 in {128, 256} whose valid width V2 = T2-K2+1 keeps
+the overlap redundancy sane. Kernel spectra (Cout, NB1, Cin/g, T2) stay
+VMEM-resident across all grid cells (budget-checked for eligibility).
 
-Not yet wired into impl="auto": use fft_conv2d_fused explicitly. Gradients
-via custom_vjp with the composed ops as backward (same recipe as 1D).
+Stride/dilation/groups/padding modes are wrapper transformations around the
+unit-stride kernel, exactly as in fused1d.py. Gradients via jax.custom_vjp
+with the composed ops as backward (backward of valid cross-correlation is a
+pair of FFT convs — SURVEY §3.4).
 """
 
 from functools import lru_cache, partial
@@ -35,150 +40,210 @@ from jax.experimental.pallas import tpu as pltpu
 from ..ops import functional as F
 from ..ops.spectral import _dft_mats, _irfft_mats, _rfft_mats
 from ..utils.shapes import to_ntuple
+from . import fused1d
+from .fused1d import _dot
 
-# stripe height (H-axis FFT size): dense NHxNH DFT matmuls at full MXU width
-_NH = 128
-# W-axis transform handled whole; cap so VMEM fits (stripe + spectra + temps)
-_MAX_W = 1024
-_MAX_CIN = 16
+# resident kernel-spectra budget (bytes): Cout*NB1*(Cin/g)*T2*8 must fit
+_KER_VMEM_BUDGET = 8 * 2**20
+# valid output rows per tile (H); T1 = K1-1+V1 rounded up to a multiple of 8
+_V1 = 128
+_T2_CANDIDATES = (128, 256)
 
 
-def _dot(a, b, dn):
-    return lax.dot_general(
-        a, b, dimension_numbers=dn,
-        preferred_element_type=jnp.float32,
-        precision=lax.Precision.HIGHEST,
-    )
+def tile_plan_2d(k1: int, k2: int, cin_g: int, cout: int):
+    """(T1, NB1, T2, V2) or None when no fused configuration fits."""
+    t1 = -(-(_V1 + k1 - 1) // 8) * 8
+    nb1 = t1 // 2 + 1
+    for t2 in _T2_CANDIDATES:
+        v2 = t2 - k2 + 1
+        if v2 < 32:
+            continue
+        if cout * nb1 * cin_g * t2 * 8 > _KER_VMEM_BUDGET:
+            return None  # larger T2 only costs more
+        return t1, nb1, t2, v2
+    return None
 
 
 @lru_cache(maxsize=None)
-def _mats_2d(nh: int, w_fft: int):
-    """All factor matrices as f32 numpy: W rfft/irfft + H DFT/iDFT."""
-    fr, fi = _rfft_mats(w_fft)          # (W, WB)
-    cr, ci = _irfft_mats(w_fft)         # (WB, W)
-    hr, hi = _dft_mats(nh, inverse=False)
-    gr, gi = _dft_mats(nh, inverse=True)
-    return fr, fi, cr, ci, hr, hi, gr, gi
+def _mats_2d(t1: int, nb1: int, t2: int, v1: int):
+    """Split-f32 factor matrices: H one-sided fwd (NB1, T1), W full DFT
+    (T2, T2) fwd/inv, H irfft rows (V1, NB1)."""
+    fr, fi = _rfft_mats(t1)            # (T1, NB1)
+    wr, wi = _dft_mats(t2, inverse=False)
+    ur, ui = _dft_mats(t2, inverse=True)
+    cr, ci = _irfft_mats(t1)           # (NB1, T1)
+    out = (
+        fr.T, fi.T,                    # (NB1, T1)
+        wr, wi,                        # (T2, T2)
+        ur, ui,
+        np.ascontiguousarray(cr.T[:v1]),   # (V1, NB1)
+        np.ascontiguousarray(ci.T[:v1]),
+    )
+    return tuple(np.ascontiguousarray(m, np.float32) for m in out)
 
 
-def kernel_spectrum_2d(kernel: jax.Array, nh: int, w_fft: int):
-    """Conjugated 2D spectra laid out (Cout, Cin, NH, WB) split re/im.
-
-    W one-sided first (kernel rows are real), then full H DFT; implicit
-    zero-padding via row-sliced matrices (kernels are tiny).
-    """
-    cout, cin, kh, kw = kernel.shape
-    fr, fi, _, _, hr, hi, _, _ = _mats_2d(nh, w_fft)
+def _kernel_spectra_2d(kernel: jax.Array, t1: int, nb1: int, t2: int):
+    """Conjugated spectra of the (Cout, Cin/g, K1, K2) kernel on the tile
+    grid, laid out (Cout, NB1, Cin/g, T2) split re/im — computed in XLA
+    (cheap: matrices row-sliced to K taps)."""
+    cout, cpg, k1, k2 = kernel.shape
+    fr, fi, wr, wi = (jnp.asarray(m) for m in _mats_2d(t1, nb1, t2, _V1)[:4])
+    fr = fr[:, :k1]
+    fi = fi[:, :k1]
+    wr_s = wr[:k2]
+    wi_s = wi[:k2]
     k = kernel.astype(jnp.float32)
-    hi_p = lax.Precision.HIGHEST
-    # W rfft: contract kw with row-sliced (kw, WB)
-    wr = jnp.einsum("ochw,wz->ochz", k, jnp.asarray(fr[:kw]), precision=hi_p)
-    wi = jnp.einsum("ochw,wz->ochz", k, jnp.asarray(fi[:kw]), precision=hi_p)
-    # H full DFT: contract kh with row-sliced (kh, NH)
-    hr_s = jnp.asarray(hr[:kh])
-    hi_s = jnp.asarray(hi[:kh])
-    sr = (
-        jnp.einsum("ochz,hH->ocHz", wr, hr_s, precision=hi_p)
-        - jnp.einsum("ochz,hH->ocHz", wi, hi_s, precision=hi_p)
+    # H transform: (NB1, K1) x (Cout, Cpg, K1, K2) -> (Cout, Cpg, NB1, K2)
+    ar = jnp.einsum("nk,oikw->oinw", fr, k, precision=lax.Precision.HIGHEST)
+    ai = jnp.einsum("nk,oikw->oinw", fi, k, precision=lax.Precision.HIGHEST)
+    # W transform: contract K2 with (K2, T2)
+    hp = lax.Precision.HIGHEST
+    br = (
+        jnp.einsum("oinw,wz->oinz", ar, wr_s, precision=hp)
+        - jnp.einsum("oinw,wz->oinz", ai, wi_s, precision=hp)
     )
-    si = (
-        jnp.einsum("ochz,hH->ocHz", wr, hi_s, precision=hi_p)
-        + jnp.einsum("ochz,hH->ocHz", wi, hr_s, precision=hi_p)
+    bi = (
+        jnp.einsum("oinw,wz->oinz", ar, wi_s, precision=hp)
+        + jnp.einsum("oinw,wz->oinz", ai, wr_s, precision=hp)
     )
-    return sr, -si  # conjugate -> cross-correlation (torch conv convention)
+    # conjugate (cross-correlation) + layout (Cout, NB1, Cpg, T2)
+    kr = jnp.transpose(br, (0, 2, 1, 3))
+    ki = jnp.transpose(-bi, (0, 2, 1, 3))
+    return kr, ki
 
 
-def _make_kernel2d(nh, wb, w_fft, cin, cout, vh, w_out):
+def _make_kernel_2d(t1, nb1, t2, v1, v2, nt2, cin, cout, groups, precision):
+    cpg = cin // groups
+    opg = cout // groups
+
     def body(
-        x_hbm, ker_hbm,
-        fr, fi, cr, ci, hr, hi, gr, gi,
-        out_ref, x_vmem, ker_vmem, dma_sem, ker_sems,
+        x_hbm, kr_ref, ki_ref,
+        fr, fi, wr, wi, ur, ui, cr, ci,
+        out_ref, x_vmem, dma_sem,
     ):
         b = pl.program_id(0)
-        s = pl.program_id(1)
-        # stripe rows [s*vh, s*vh + nh) of the H-extended input
+        i = pl.program_id(1)
+        # x is pre-windowed along W in XLA: (B, Cin, nt2, Hpad, T2). One cell
+        # processes ALL nt2 W-tiles of an H-block, so every matmul has a big
+        # merged M dim and the grid stays small (cell overhead amortized).
+        # Only the H (sublane) axis is sliced — its offsets are 128-aligned;
+        # lane-axis DMA offsets would have to be 128-aligned too, which the
+        # overlapping V2 stride cannot satisfy (Mosaic rejects it).
         dma = pltpu.make_async_copy(
-            x_hbm.at[b, :, pl.ds(s * vh, nh), :], x_vmem, dma_sem
+            x_hbm.at[b, :, :, pl.ds(i * v1, t1), :],
+            x_vmem, dma_sem,
         )
         dma.start()
         dma.wait()
-        x = x_vmem[...]  # (Cin, NH, W) real
+        a = x_vmem[...]  # (Cin, nt2, T1, T2) real
 
-        # W-axis rfft: contract last dim with (W, WB) — rows are still real
-        dn_w = (((2,), (0,)), ((), ()))
-        awr = _dot(x, fr[...], dn_w)  # (Cin, NH, WB)
-        awi = _dot(x, fi[...], dn_w)
-        # H-axis full DFT: contract NH (dim 1) with (NH, NH)
-        dn_h = (((1,), (0,)), ((), ()))
+        # H one-sided DFT; contracting rhs dim 2 also rotates the layout:
+        # (NB1, T1) x (Cin, nt2, T1, T2) -> (NB1, Cin, nt2, T2)
+        dn_a = (((1,), (2,)), ((), ()))
+        br = _dot(fr[...], a, dn_a, precision)
+        bi = _dot(fi[...], a, dn_a, precision)
+        # W full DFT: right-multiply (T2, T2)
+        dn_b = (((3,), (0,)), ((), ()))
+        dr = (
+            _dot(br, wr[...], dn_b, precision)
+            - _dot(bi, wi[...], dn_b, precision)
+        )
+        di = (
+            _dot(br, wi[...], dn_b, precision)
+            + _dot(bi, wr[...], dn_b, precision)
+        )
 
-        def hmul(ar, ai, mr, mi):
-            rr = _dot(ar, mr, dn_h) - _dot(ai, mi, dn_h)
-            ii = _dot(ar, mi, dn_h) + _dot(ai, mr, dn_h)
-            return rr, ii  # (Cin, WB?, ...) -> dims (Cin, WB, NH)? see below
-
-        # _dot with dn_h on (Cin, NH, WB) contracts dim1 -> output (Cin, WB, NH)
-        sr, si = hmul(awr, awi, hr[...], hi[...])  # (Cin, WB, NH)
-
-        # Per-out-channel MAC + inverse. Kernel spectra don't fit VMEM
-        # resident (Mosaic wanted 177 MB with double-buffered resident
-        # blocks), so they stream from HBM double-buffered: one combined
-        # (2, Cin, WB, NH) copy per cout, next cout's copy in flight while
-        # this one computes.
-        def kdma(o, slot):
-            return pltpu.make_async_copy(
-                ker_hbm.at[o], ker_vmem.at[slot], ker_sems.at[slot]
-            )
-
-        kdma(0, 0).start()
+        # per-out-channel grouped MAC over Cin/g (VPU; spectra conjugated,
+        # broadcast over the nt2 tile axis)
+        yr_parts, yi_parts = [], []
         for o in range(cout):
-            if o + 1 < cout:
-                kdma(o + 1, (o + 1) % 2).start()
-            kdma(o, o % 2).wait()
-            kr_o = ker_vmem[o % 2, 0]  # (Cin, WB, NH)
-            ki_o = ker_vmem[o % 2, 1]
-            yr = jnp.sum(sr * kr_o - si * ki_o, axis=0)  # (WB, NH)
-            yi = jnp.sum(sr * ki_o + si * kr_o, axis=0)
-            # inverse H: contract NH (last dim now) with iDFT (NH, NH)
-            dn_last = (((1,), (0,)), ((), ()))
-            er = _dot(yr, gr[...], dn_last) - _dot(yi, gi[...], dn_last)
-            ei = _dot(yr, gi[...], dn_last) + _dot(yi, gr[...], dn_last)
-            # er/ei: (WB, NH) -> need (NH rows valid, W): inverse W rfft:
-            # contract WB (dim 0) with (WB, W)
-            dn_first = (((0,), (0,)), ((), ()))
-            y = _dot(er, cr[...], dn_first) + _dot(ei, ci[...], dn_first)
-            # y: (NH, W) real; valid region [0, vh) x [0, w_out)
-            out_ref[0, 0, o] = y[:vh, :w_out]
+            go = o // opg
+            dr_g = dr[:, go * cpg:(go + 1) * cpg, :, :]
+            di_g = di[:, go * cpg:(go + 1) * cpg, :, :]
+            kr_o = kr_ref[o][:, :, None, :]  # (NB1, Cpg, 1, T2)
+            ki_o = ki_ref[o][:, :, None, :]
+            yr_parts.append(
+                jnp.sum(dr_g * kr_o - di_g * ki_o, axis=1, keepdims=True)
+            )
+            yi_parts.append(
+                jnp.sum(dr_g * ki_o + di_g * kr_o, axis=1, keepdims=True)
+            )
+        yr = jnp.concatenate(yr_parts, axis=1)  # (NB1, Cout, nt2, T2)
+        yi = jnp.concatenate(yi_parts, axis=1)
+
+        # inverse W DFT
+        er = (
+            _dot(yr, ur[...], dn_b, precision)
+            - _dot(yi, ui[...], dn_b, precision)
+        )
+        ei = (
+            _dot(yr, ui[...], dn_b, precision)
+            + _dot(yi, ur[...], dn_b, precision)
+        )
+        # inverse H irfft, valid rows only: (V1, NB1) x (NB1, Cout, nt2, T2),
+        # contracting the rhs's leading bin axis
+        dn_c = (((1,), (0,)), ((), ()))
+        out = (
+            _dot(cr[...], er, dn_c, precision)
+            + _dot(ci[...], ei, dn_c, precision)
+        )
+        out_ref[0, 0] = out  # (V1, Cout, nt2, T2)
 
     return body
 
 
 @lru_cache(maxsize=None)
-def _fused2d_call(b, nstripes, nh, w_fft, wb, cin, cout, vh, w_out, interpret):
+def _fused2d_call(
+    b, nt1, nt2, t1, nb1, t2, v1, v2, cin, cout, groups, precision, interpret
+):
+    cpg = cin // groups
+    mat_spec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     grid_spec = pl.GridSpec(
-        grid=(b, nstripes),
+        grid=(b, nt1),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),   # x (B, Cin, Hext, W)
-            pl.BlockSpec(memory_space=pl.ANY),   # spectra (Cout,2,Cin,WB,NH)
-        ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(8)],
+            pl.BlockSpec(memory_space=pl.ANY),  # x in HBM
+            pl.BlockSpec(
+                (cout, nb1, cpg, t2), lambda b_, i: (0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (cout, nb1, cpg, t2), lambda b_, i: (0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ] + [mat_spec() for _ in range(8)],
         out_specs=pl.BlockSpec(
-            (1, 1, cout, vh, w_out), lambda i, j: (i, j, 0, 0, 0),
+            (1, 1, v1, cout, nt2, t2),
+            lambda b_, i: (b_, i, 0, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((cin, nh, w_fft), jnp.float32),
-            pltpu.VMEM((2, 2, cin, wb, nh), jnp.float32),
+            pltpu.VMEM((cin, nt2, t1, t2), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    # per-cell matmul flops (one real mul-add = 2 flops)
+    cell = 2 * nt2 * t2 * (
+        2 * nb1 * t1 * cin           # H fwd
+        + 4 * nb1 * cin * t2         # W fwd
+        + 4 * nb1 * cout * t2        # W inv
+        + 2 * v1 * nb1 * cout        # H inv
+    )
     return pl.pallas_call(
-        _make_kernel2d(nh, wb, w_fft, cin, cout, vh, w_out),
+        _make_kernel_2d(t1, nb1, t2, v1, v2, nt2, cin, cout, groups,
+                        precision),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (b, nstripes, cout, vh, w_out), jnp.float32
+            (b, nt1, v1, cout, nt2, t2), jnp.float32
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=cell * b * nt1,
+            bytes_accessed=(
+                b * nt1 * nt2 * (cin * t1 * t2 + v1 * cout * t2)
+            ) * 4,
+            transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
     )
@@ -188,102 +253,158 @@ def _is_cpu() -> bool:
     return jax.devices()[0].platform == "cpu"
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _fused2d_core(x_padded, kernel, out_hw: Tuple[int, int], groups: int = 1):
+    return _fused2d_forward(x_padded, kernel, out_hw, groups)
+
+
+def _fused2d_forward(x_padded, kernel, out_hw, groups=1):
+    b, cin, hp, wp = x_padded.shape
+    cout, cpg, k1, k2 = kernel.shape
+    plan = tile_plan_2d(k1, k2, cpg, cout)
+    if plan is None:
+        raise ValueError("no fused 2D configuration fits this shape")
+    t1, nb1, t2, v2 = plan
+    v1 = _V1
+    oh, ow = out_hw
+    nt1 = -(-oh // v1)
+    nt2 = -(-ow // v2)
+
+    need_h = (nt1 - 1) * v1 + t1
+    x = x_padded.astype(jnp.float32)
+    if need_h != hp:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, need_h - hp), (0, 0)))
+    # W windows extracted in XLA (O(1) ops: reshape + 2 slices + concat);
+    # laid out (B, Cin, nt2, Hpad, T2) so the kernel's DMA slices only the
+    # 8-aligned H axis
+    from ..ops.tiled import _window_axis
+
+    x = _window_axis(x, 3, t2, v2, nt2)  # (B, Cin, Hpad, nt2, T2)
+    x = x.transpose(0, 1, 3, 2, 4)
+
+    kr, ki = _kernel_spectra_2d(kernel.astype(jnp.float32), t1, nb1, t2)
+    mats = [jnp.asarray(m) for m in _mats_2d(t1, nb1, t2, v1)]
+
+    call = _fused2d_call(
+        b, nt1, nt2, t1, nb1, t2, v1, v2, cin, cout, groups,
+        fused1d._PRECISION_MODE, _is_cpu(),
+    )
+    out = call(x, kr, ki, *mats)
+    # (B, nt1, V1, Cout, nt2, T2): crop W valid, stitch, crop to out_hw
+    out = out[:, :, :, :, :, :v2]
+    out = out.transpose(0, 3, 1, 2, 4, 5).reshape(
+        b, cout, nt1 * v1, nt2 * v2
+    )
+    return out[:, :, :oh, :ow]
+
+
+def _fused2d_fwd(x_padded, kernel, out_hw, groups):
+    return _fused2d_forward(x_padded, kernel, out_hw, groups), (
+        x_padded, kernel,
+    )
+
+
+def _fused2d_bwd(out_hw, groups, residuals, g):
+    x_padded, kernel = residuals
+    dx = F.fft_conv_transpose(g, kernel, groups=groups, impl="xla")
+    if groups == 1:
+        dw = F.fft_conv(
+            jnp.swapaxes(x_padded, 0, 1), jnp.swapaxes(g, 0, 1), impl="xla"
+        )
+        return dx, jnp.swapaxes(dw, 0, 1)
+    b, cin = x_padded.shape[:2]
+    cout = g.shape[1]
+    cpg, opg = cin // groups, cout // groups
+    xg = x_padded.reshape(b, groups, cpg, *x_padded.shape[2:])
+    xg = jnp.moveaxis(xg, (1, 2), (0, 1))
+    gg = g.reshape(b, groups, opg, *g.shape[2:])
+    gg = jnp.moveaxis(gg, (1, 2), (0, 1))
+    dw = jax.vmap(lambda a, c: F.fft_conv(a, c, impl="xla"))(xg, gg)
+    dw = jnp.swapaxes(dw, 1, 2).reshape(cout, cpg, *dw.shape[3:])
+    return dx, dw
+
+
+_fused2d_core.defvjp(_fused2d_fwd, _fused2d_bwd)
+
+
 def fft_conv2d_fused(
     signal: jax.Array,
     kernel: jax.Array,
     bias: Optional[jax.Array] = None,
     padding=0,
     padding_mode: str = "constant",
+    stride=1,
+    dilation=1,
+    groups: int = 1,
 ) -> jax.Array:
-    """Fused-Pallas 2D FFT convolution (stride=1, dilation=1, groups=1).
-
-    Experimental: not routed by impl="auto" yet. signal (B, Cin, H, W),
-    kernel (Cout, Cin, KH, KW).
+    """Fused-Pallas 2D FFT convolution; torch conv2d semantics for the
+    supported surface (any padding/padding_mode/stride/dilation/groups with
+    a fitting tile plan). Falls back to the composed path when no plan fits.
     """
     if signal.ndim != 4 or kernel.ndim != 4:
-        raise ValueError("fft_conv2d_fused expects (B,Cin,H,W) and (Cout,Cin,KH,KW)")
-    padding_ = to_ntuple(padding, 2)
-    x = F._pad_signal(signal, padding_, padding_mode).astype(jnp.float32)
-    b, cin, h, w = x.shape
-    cout, cin_k, kh, kw = kernel.shape
-    if cin_k != cin:
-        raise ValueError(f"kernel Cin {cin_k} != signal Cin {cin}")
-    if kh > h or kw > w:
-        raise ValueError("Kernel size can't be greater than actual input size")
-    if w > _MAX_W or cin > _MAX_CIN or kh >= _NH:
         raise ValueError(
-            f"fused 2D limits: W <= {_MAX_W}, Cin <= {_MAX_CIN}, KH < {_NH}"
+            "fft_conv2d_fused expects (B, Cin, H, W) and (Cout, Cin/g, K1, K2)"
         )
+    padding_ = to_ntuple(padding, 2)
+    stride_ = to_ntuple(stride, 2)
+    dilation_ = to_ntuple(dilation, 2)
+    kernel = F._dilate_kernel(kernel, dilation_)
+    x = F._pad_signal(signal, padding_, padding_mode)
+    b, cin, hp, wp = x.shape
+    cout, cpg, k1, k2 = kernel.shape
+    if cpg * groups != cin:
+        raise ValueError(
+            f"kernel Cin/groups {cpg} x groups {groups} != signal Cin {cin}"
+        )
+    if cout % groups:
+        raise ValueError(f"out_channels {cout} not divisible by groups {groups}")
+    if k1 > hp or k2 > wp:
+        raise ValueError("Kernel size can't be greater than actual input size")
 
-    nh = _NH
-    w_fft = w  # circular along W at the padded width: valid cols cropped
-    wb = w_fft // 2 + 1
-    # stripe advance rounded to the 8-row sublane tile: Mosaic requires the
-    # DMA row offset (stripe * vh) provably tile-aligned
-    vh = ((nh - kh + 1) // 8) * 8
-    if vh < 8:
-        raise ValueError(f"KH {kh} too large for stripe height {nh}")
-    vh_total = h - kh + 1
-    nstripes = -(-vh_total // vh)
-    w_out = w - kw + 1
-
-    out = _fused2d_core(x, kernel.astype(jnp.float32), nh, w_fft, nstripes, vh)
-    out = out.reshape(b, nstripes * vh, cout, -1)[:, :vh_total]
-    out = jnp.transpose(out, (0, 2, 1, 3))
+    oh, ow = hp - k1 + 1, wp - k2 + 1
+    if tile_plan_2d(k1, k2, cpg, cout) is None:
+        out = F.fft_conv(signal, kernel, None, padding=padding_,
+                         groups=groups, padding_mode=padding_mode, impl="xla")
+    else:
+        out = _fused2d_core(
+            x.astype(jnp.float32), kernel.astype(jnp.float32), (oh, ow),
+            groups,
+        )
+    if stride_ != (1, 1):
+        out = out[:, :, ::stride_[0], ::stride_[1]]
     if bias is not None:
         out = out + bias.reshape(1, -1, 1, 1)
     return out.astype(signal.dtype)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def _fused2d_core(x, kernel, nh, w_fft, nstripes, vh):
-    return _fused2d_forward(x, kernel, nh, w_fft, nstripes, vh)
-
-
-def _fused2d_forward(x, kernel, nh, w_fft, nstripes, vh):
-    b, cin, h, w = x.shape
-    cout, _, kh, kw = kernel.shape
-    wb = w_fft // 2 + 1
-    w_out = w - kw + 1
-
-    # H-extend so every stripe DMA is in-bounds
-    need_h = (nstripes - 1) * vh + nh
-    x_ext = jnp.pad(x, ((0, 0), (0, 0), (0, need_h - h), (0, 0)))
-
-    kr, ki = kernel_spectrum_2d(kernel, nh, w_fft)  # (Cout, Cin, NH, WB)
-    # transpose to the in-kernel x-spectra layout and stack re/im so each
-    # out-channel streams in with ONE double-buffered DMA
-    spectra = jnp.stack(
-        [jnp.transpose(kr, (0, 1, 3, 2)), jnp.transpose(ki, (0, 1, 3, 2))],
-        axis=1,
-    )  # (Cout, 2, Cin, WB, NH)
-
-    mats = [jnp.asarray(m) for m in _mats_2d(nh, w_fft)]
-    call = _fused2d_call(
-        b, nstripes, nh, w_fft, wb, cin, cout, vh, w_out, _is_cpu()
+def fft_conv_transpose2d_fused(
+    signal: jax.Array,
+    kernel: jax.Array,
+    bias: Optional[jax.Array] = None,
+    padding=0,
+) -> jax.Array:
+    """Fused-Pallas 2D transposed convolution (stride=1, dilation=1,
+    groups=1). Full correlation with the flipped, (Cin,Cout)-swapped kernel
+    (reference functional.py:109-114), cropped by ``padding`` per side."""
+    if signal.ndim != 4 or kernel.ndim != 4:
+        raise ValueError(
+            "fft_conv_transpose2d_fused expects (B, Cin, H, W), (Cin, Cout, K1, K2)"
+        )
+    padding_ = to_ntuple(padding, 2)
+    cin, cout, k1, k2 = kernel.shape
+    if signal.shape[1] != cin:
+        raise ValueError(f"kernel Cin {cin} != signal Cin {signal.shape[1]}")
+    out_h = signal.shape[2] + k1 - 1 - 2 * padding_[0]
+    out_w = signal.shape[3] + k2 - 1 - 2 * padding_[1]
+    if out_h < 1 or out_w < 1:
+        raise ValueError(f"non-positive output size ({out_h}, {out_w})")
+    w = jnp.swapaxes(jnp.flip(kernel, axis=(2, 3)), 0, 1)
+    out = fft_conv2d_fused(signal, w, None, padding=(k1 - 1, k2 - 1))
+    out = lax.slice(
+        out,
+        (0, 0, padding_[0], padding_[1]),
+        (out.shape[0], out.shape[1], padding_[0] + out_h, padding_[1] + out_w),
     )
-    out = call(x_ext, spectra, *mats)
-    # (B, nstripes, Cout, VH, W_out) -> (B, nstripes*VH, Cout, W_out)
-    return out.transpose(0, 1, 3, 2, 4).reshape(b, nstripes * vh, cout, w_out)
-
-
-def _fused2d_fwd(x, kernel, nh, w_fft, nstripes, vh):
-    return _fused2d_forward(x, kernel, nh, w_fft, nstripes, vh), (x, kernel)
-
-
-def _fused2d_bwd(nh, w_fft, nstripes, vh, residuals, g_shaped):
-    x, kernel = residuals
-    b, cin, h, w = x.shape
-    cout, _, kh, kw = kernel.shape
-    vh_total = h - kh + 1
-    # undo the wrapper-visible layout: g (B, nstripes*vh, Cout, W_out)
-    g = jnp.transpose(g_shaped, (0, 2, 1, 3))[:, :, :vh_total]
-    # dx = conv_transpose(g, kernel); dw = corr over batch (same as 1D bwd)
-    dx = F.fft_conv_transpose(g, kernel, impl="xla")
-    dw = F.fft_conv(
-        jnp.swapaxes(x, 0, 1), jnp.swapaxes(g, 0, 1), impl="xla"
-    )
-    return dx, jnp.swapaxes(dw, 0, 1)
-
-
-_fused2d_core.defvjp(_fused2d_fwd, _fused2d_bwd)
+    if bias is not None:
+        out = out + bias.reshape(1, -1, 1, 1)
+    return out

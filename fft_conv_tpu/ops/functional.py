@@ -21,6 +21,7 @@ TPU-first design notes (not a torch translation):
     (complex64) and cast back — FFT twiddle accuracy requires fp32.
 """
 
+import math
 from functools import partial
 from typing import Iterable, Optional, Union
 
@@ -225,23 +226,19 @@ def fft_conv(
             f"kernel expects {kernel.shape[1]} in-channels per group, signal "
             f"has {signal.shape[1]} / groups {groups}"
         )
-    if impl not in ("auto", "xla", "fused"):
+    if impl not in ("auto", "xla", "fused", "tiled"):
         raise ValueError(f"unknown impl: {impl!r}")
-    if impl != "xla":
+    if impl in ("auto", "fused"):
         # padding modes are applied in the wrapper before the kernel runs,
         # so every supported mode is fused-eligible
-        eligible = (
-            n == 1
-            and signal.shape[1] % groups == 0
-            and kernel.shape[0] % groups == 0
-        )
+        eligible = n in (1, 2)
         if impl == "fused" and not eligible:
-            raise ValueError("impl='fused' requires 1D input")
+            raise ValueError("impl='fused' requires 1D or 2D input")
         # auto: the fused kernel's per-block FFT work only pays off once the
         # kernel is large enough to be in FFT-conv territory at all
-        if impl == "auto" and kernel.shape[-1] < 64:
+        if impl == "auto" and math.prod(kernel.shape[2:]) < 64:
             eligible = False
-        if eligible and (impl == "fused" or _on_tpu()):
+        if eligible and n == 1 and (impl == "fused" or _on_tpu()):
             from ..kernels.fused1d import choose_fft_size, fft_conv1d_fused
 
             l_pad = signal.shape[-1] + 2 * padding_[0]
@@ -259,7 +256,39 @@ def fft_conv(
                     "no fused FFT configuration fits this shape (kernel "
                     "spectra exceed the VMEM budget or signal too small)"
                 )
+        if eligible and n == 2 and (impl == "fused" or _on_tpu()):
+            from ..kernels.fused2d import fft_conv2d_fused, tile_plan_2d
 
+            k_dil = [
+                dilated_size(k, d)
+                for k, d in zip(kernel.shape[2:], dilation_)
+            ]
+            padded = [
+                s + 2 * p for s, p in zip(signal.shape[2:], padding_)
+            ]
+            fits = (
+                tile_plan_2d(
+                    k_dil[0], k_dil[1], signal.shape[1] // groups,
+                    kernel.shape[0],
+                ) is not None
+                and all(k <= s for k, s in zip(k_dil, padded))
+            )
+            if fits:
+                return fft_conv2d_fused(
+                    signal, kernel, bias, padding=padding_,
+                    padding_mode=padding_mode, stride=stride_,
+                    dilation=dilation_, groups=groups,
+                )
+            if impl == "fused":
+                raise ValueError(
+                    "no fused 2D FFT configuration fits this shape"
+                )
+
+    use_tiled = impl == "tiled" or (
+        impl == "auto" and _on_tpu() and _tiling_wins_here(
+            signal, kernel, stride_, padding_, dilation_, groups
+        )
+    )
     return _fft_conv(
         signal,
         kernel,
@@ -270,25 +299,37 @@ def fft_conv(
         int(groups),
         padding_mode,
         fft_policy or DEFAULT_FFT_POLICY,
+        use_tiled,
     )
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
+def _tiling_wins_here(signal, kernel, stride_, padding_, dilation_, groups):
+    """Static routing: overlap-save tiling vs one whole-signal transform."""
+    from .tiled import tiling_wins
+
+    k_dil = tuple(
+        dilated_size(k, d) for k, d in zip(kernel.shape[2:], dilation_)
+    )
+    padded = tuple(
+        s + 2 * p for s, p in zip(signal.shape[2:], padding_)
+    )
+    if any(s - k + 1 <= 0 for s, k in zip(padded, k_dil)):
+        return False  # invalid config: let the standard path raise
+    valid = tuple(s - k + 1 for s, k in zip(padded, k_dil))
+    return tiling_wins(
+        padded, k_dil, valid, (signal.shape[0], signal.shape[1], kernel.shape[0])
+    )
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
 def _fft_conv(
     signal, kernel, bias, stride_, padding_, dilation_, groups, padding_mode,
-    fft_policy,
+    fft_policy, use_tiled=False,
 ):
     n = signal.ndim - 2
     kernel = _dilate_kernel(kernel, dilation_)
     signal = _pad_signal(signal, padding_, padding_mode)
 
-    # FFT length per policy (reference parity: even rounding,
-    # functional.py:64-66): circular transform at >= signal length; the crop
-    # below never touches wraparound.
-    fft_shape = tuple(_fft_length(s, fft_policy) for s in signal.shape[2:])
-    out = _freq_domain_conv(signal, kernel, fft_shape, groups)
-
-    # Crop to the valid region [0 : s - k + 1 : stride] (functional.py:76-82).
     valid = [
         signal.shape[2 + i] - kernel.shape[2 + i] + 1 for i in range(n)
     ]
@@ -298,12 +339,27 @@ def _fft_conv(
             f"input spatial {signal.shape[2:]} vs (dilated) kernel "
             f"{kernel.shape[2:]}"
         )
-    out = lax.slice(
-        out,
-        start_indices=(0, 0) + (0,) * n,
-        limit_indices=out.shape[:2] + tuple(valid),
-        strides=(1, 1) + stride_,
-    )
+
+    if use_tiled:
+        from .tiled import tiled_valid_corr
+
+        out = tiled_valid_corr(signal, kernel, groups, out_len=tuple(valid))
+        out = lax.slice(
+            out, (0, 0) + (0,) * n, out.shape, (1, 1) + stride_
+        )
+    else:
+        # FFT length per policy (reference parity: even rounding,
+        # functional.py:64-66): circular transform at >= signal length; the
+        # crop below never touches wraparound.
+        fft_shape = tuple(_fft_length(s, fft_policy) for s in signal.shape[2:])
+        out = _freq_domain_conv(signal, kernel, fft_shape, groups)
+        # Crop to the valid region [0 : s-k+1 : stride] (functional.py:76-82).
+        out = lax.slice(
+            out,
+            start_indices=(0, 0) + (0,) * n,
+            limit_indices=out.shape[:2] + tuple(valid),
+            strides=(1, 1) + stride_,
+        )
 
     if bias is not None:
         out = out + bias.astype(out.dtype).reshape((1, -1) + (1,) * n)
@@ -352,9 +408,9 @@ def fft_conv_transpose(
             f"in_channels {kernel.shape[0]} must be divisible by groups "
             f"{groups}"
         )
-    if impl not in ("auto", "xla", "fused"):
+    if impl not in ("auto", "xla", "fused", "tiled"):
         raise ValueError(f"unknown impl: {impl!r}")
-    if impl != "xla":
+    if impl in ("auto", "fused"):
         eligible = (
             n == 1
             and stride_ == (1,)
@@ -384,6 +440,12 @@ def fft_conv_transpose(
             if impl == "fused":
                 raise ValueError("no fused FFT configuration fits this shape")
 
+    use_tiled = impl == "tiled" or (
+        impl == "auto" and _on_tpu() and _tiling_wins_transpose(
+            signal, kernel, stride_, padding_, output_padding_, dilation_,
+            groups,
+        )
+    )
     return _fft_conv_transpose(
         signal,
         kernel,
@@ -394,13 +456,37 @@ def fft_conv_transpose(
         dilation_,
         int(groups),
         fft_policy or DEFAULT_FFT_POLICY,
+        use_tiled,
     )
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
+def _tiling_wins_transpose(
+    signal, kernel, stride_, padding_, output_padding_, dilation_, groups
+):
+    from .tiled import tiling_wins
+
+    k_dil = tuple(
+        dilated_size(k, d) for k, d in zip(kernel.shape[2:], dilation_)
+    )
+    stuffed = tuple(
+        (s - 1) * t + 1 + (k - 1)
+        for s, t, k in zip(signal.shape[2:], stride_, k_dil)
+    )
+    out_shape = conv_transpose_output_shape(
+        signal.shape[2:], kernel.shape[2:], stride_, padding_,
+        output_padding_, dilation_,
+    )
+    out_full = tuple(o + p for o, p in zip(out_shape, padding_))
+    cout = kernel.shape[1] * groups
+    return tiling_wins(
+        stuffed, k_dil, out_full, (signal.shape[0], signal.shape[1], cout)
+    )
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
 def _fft_conv_transpose(
     signal, kernel, bias, stride_, padding_, output_padding_, dilation_, groups,
-    fft_policy,
+    fft_policy, use_tiled=False,
 ):
     n = signal.ndim - 2
     k_spatial = kernel.shape[2:]
@@ -424,27 +510,39 @@ def _fft_conv_transpose(
     ]
     signal_ = lax.pad(signal, zero, config)
 
-    # FFT length >= linear-conv length, rounded even (functional.py:143).
-    # FFT length >= linear-conv length s + k - 1, rounded per policy. The
-    # "even" rounding reproduces the reference exactly: (s+k-1+1)//2*2 ==
-    # (s+k)//2*2 (functional.py:143).
-    fft_shape = tuple(
-        _fft_length(s + k - 1, fft_policy)
-        for s, k in zip(signal_.shape[2:], k_dil)
-    )
     out_shape = conv_transpose_output_shape(
         signal.shape[2:], k_spatial, stride_, padding_, output_padding_, dilation_
     )
 
-    out = _freq_domain_conv(signal_, kernel, fft_shape, groups)
+    if use_tiled:
+        from .tiled import tiled_valid_corr
 
-    # Crop [p : out+p] per dim — padding removes border (functional.py:163-169).
-    out = lax.slice(
-        out,
-        start_indices=(0, 0) + tuple(padding_),
-        limit_indices=out.shape[:2]
-        + tuple(s + p for s, p in zip(out_shape, padding_)),
-    )
+        # outputs [0 : out+p) of the zero-extended correlation, then drop
+        # the first p per dim — padding removes border (functional.py:163-169)
+        out_full = tuple(o + p for o, p in zip(out_shape, padding_))
+        out = tiled_valid_corr(signal_, kernel, groups, out_len=out_full)
+        out = lax.slice(
+            out,
+            start_indices=(0, 0) + tuple(padding_),
+            limit_indices=out.shape[:2] + out_full,
+        )
+    else:
+        # FFT length >= linear-conv length s + k - 1, rounded per policy. The
+        # "even" rounding reproduces the reference exactly: (s+k-1+1)//2*2 ==
+        # (s+k)//2*2 (functional.py:143).
+        fft_shape = tuple(
+            _fft_length(s + k - 1, fft_policy)
+            for s, k in zip(signal_.shape[2:], k_dil)
+        )
+        out = _freq_domain_conv(signal_, kernel, fft_shape, groups)
+
+        # Crop [p : out+p] per dim (functional.py:163-169).
+        out = lax.slice(
+            out,
+            start_indices=(0, 0) + tuple(padding_),
+            limit_indices=out.shape[:2]
+            + tuple(s + p for s, p in zip(out_shape, padding_)),
+        )
 
     if bias is not None:
         out = out + bias.astype(out.dtype).reshape((1, -1) + (1,) * n)

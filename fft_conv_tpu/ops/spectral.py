@@ -337,11 +337,26 @@ def spectral_contract_split(sig_r, sig_i, ker_r, ker_i, groups: int):
 
 
 def freq_domain_conv_matmul(signal, kernel, fft_shape, groups) -> jax.Array:
-    """Full MXU-DFT pipeline: rfftn -> conj-MAC -> irfftn, split-real."""
+    """Full MXU-DFT pipeline: rfftn -> conj-MAC -> irfftn, split-real.
+
+    The MAC runs on spectra with the trailing bin axes FLATTENED (a free
+    reshape — they are contiguous): the VPU then sees a full-lane minor
+    dimension instead of the last bin axis (e.g. 33 lanes of 128 for a 64^3
+    transform — a 4x elementwise slowdown, measured on v5e).
+    """
     in_dtype = signal.dtype
     sig_r, sig_i = rfftn_matmul(signal, fft_shape)
     ker_r, ker_i = rfftn_matmul(kernel, fft_shape)
-    out_r, out_i = spectral_contract_split(sig_r, sig_i, ker_r, ker_i, groups)
+    freq = sig_r.shape[2:]
+
+    def flat(a):
+        return a.reshape(*a.shape[:2], -1)
+
+    out_r, out_i = spectral_contract_split(
+        flat(sig_r), flat(sig_i), flat(ker_r), flat(ker_i), groups
+    )
+    out_r = out_r.reshape(*out_r.shape[:2], *freq)
+    out_i = out_i.reshape(*out_i.shape[:2], *freq)
     out = irfftn_matmul(out_r, out_i, fft_shape)
     return out.astype(in_dtype)
 

@@ -243,9 +243,17 @@ def test_fused_transpose_matches_torch(pad):
 def test_fused_transpose_validation():
     with pytest.raises(ValueError):
         fft_conv_transpose1d_fused(jnp.ones((1, 2, 100)), jnp.ones((3, 2, 5)))
-    with pytest.raises(ValueError):
+    # padding >= kernel_size is VALID (torch accepts it); parity-checked
+    rng = np.random.default_rng(17)
+    sig = rng.standard_normal((1, 2, 100)).astype(np.float32)
+    w = rng.standard_normal((2, 3, 5)).astype(np.float32)
+    y = fft_conv_transpose1d_fused(jnp.asarray(sig), jnp.asarray(w), padding=5)
+    y_ref = TF.conv_transpose1d(torch.tensor(sig), torch.tensor(w),
+                                padding=5).numpy()
+    _assert_close_scaled(y, y_ref)
+    with pytest.raises(ValueError):  # non-positive output length
         fft_conv_transpose1d_fused(
-            jnp.ones((1, 2, 100)), jnp.ones((2, 3, 5)), padding=5
+            jnp.ones((1, 2, 10)), jnp.ones((2, 3, 5)), padding=50
         )
 
 
@@ -279,8 +287,8 @@ def test_impl_dispatcher():
     y_auto = fft_conv(sig, w, impl="auto")
     assert np.array_equal(np.asarray(y_auto), np.asarray(y_xla))
     with pytest.raises(ValueError):
-        # 2D is not fused-eligible through this dispatcher
-        fft_conv(jnp.ones((1, 2, 64, 64)), jnp.ones((3, 2, 5, 5)),
+        # 3D is not fused-eligible through this dispatcher
+        fft_conv(jnp.ones((1, 2, 32, 32, 32)), jnp.ones((3, 2, 5, 5, 5)),
                  impl="fused")
     with pytest.raises(ValueError):
         fft_conv(sig, w, impl="bogus")

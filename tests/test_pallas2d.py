@@ -1,4 +1,4 @@
-"""Experimental fused 2D Pallas kernel tests (interpret mode on CPU)."""
+"""Fused 2D Pallas tile-kernel tests (interpret mode on CPU)."""
 
 import jax
 import jax.numpy as jnp
@@ -8,7 +8,11 @@ import torch
 import torch.nn.functional as TF
 
 from fft_conv_tpu import fft_conv
-from fft_conv_tpu.kernels.fused2d import fft_conv2d_fused
+from fft_conv_tpu.kernels.fused2d import (
+    fft_conv2d_fused,
+    fft_conv_transpose2d_fused,
+    tile_plan_2d,
+)
 
 
 def _assert_close_scaled(y, y_ref):
@@ -26,7 +30,7 @@ CONFIGS = [
     (1, 2, 3, 200, 160, 10, 12, 0),
     (2, 4, 4, 300, 256, 34, 34, 5),
     (1, 1, 1, 130, 140, 3, 5, 0),
-    (1, 3, 2, 129, 130, 16, 16, 0),   # odd sizes, stripe remainder
+    (1, 3, 2, 129, 130, 16, 16, 0),   # odd sizes, partial last tiles
 ]
 
 
@@ -43,6 +47,52 @@ def test_fused2d_matches_torch(b, cin, cout, h, w, kh, kw, pad):
     _assert_close_scaled(y, y_ref)
 
 
+@pytest.mark.parametrize(
+    "stride,dilation,groups,pmode",
+    [
+        ((2, 1), 1, 1, "constant"),
+        (1, (1, 2), 1, "constant"),
+        (1, 1, 2, "constant"),
+        (1, 1, 1, "reflect"),
+        ((2, 3), 2, 2, "circular"),
+    ],
+)
+def test_fused2d_arg_surface(stride, dilation, groups, pmode):
+    rng = np.random.default_rng(7)
+    pad = 3
+    sig = rng.standard_normal((2, 4, 160, 150)).astype(np.float32)
+    ker = rng.standard_normal((4, 4 // groups, 9, 7)).astype(np.float32)
+    xt = torch.tensor(sig)
+    tmode = {"constant": None, "reflect": "reflect", "circular": "circular"}[pmode]
+    if tmode is None:
+        ref = TF.conv2d(xt, torch.tensor(ker), stride=stride, padding=pad,
+                        dilation=dilation, groups=groups).numpy()
+    else:
+        xt = TF.pad(xt, (pad, pad, pad, pad), mode=tmode)
+        ref = TF.conv2d(xt, torch.tensor(ker), stride=stride,
+                        dilation=dilation, groups=groups).numpy()
+    y = fft_conv2d_fused(
+        jnp.asarray(sig), jnp.asarray(ker), padding=pad, padding_mode=pmode,
+        stride=stride, dilation=dilation, groups=groups,
+    )
+    _assert_close_scaled(y, ref)
+
+
+@pytest.mark.parametrize("pad", [0, 2, 5])
+def test_fused2d_transpose_matches_torch(pad):
+    rng = np.random.default_rng(pad)
+    sig = rng.standard_normal((2, 3, 140, 130)).astype(np.float32)
+    ker = rng.standard_normal((3, 2, 5, 4)).astype(np.float32)
+    bias = rng.standard_normal((2,)).astype(np.float32)
+    ref = TF.conv_transpose2d(
+        torch.tensor(sig), torch.tensor(ker), torch.tensor(bias), padding=pad
+    ).numpy()
+    y = fft_conv_transpose2d_fused(
+        jnp.asarray(sig), jnp.asarray(ker), jnp.asarray(bias), padding=pad
+    )
+    _assert_close_scaled(y, ref)
+
+
 def test_fused2d_gradients_match_composed():
     rng = np.random.default_rng(5)
     sig = jnp.asarray(rng.standard_normal((1, 2, 150, 128)).astype(np.float32))
@@ -57,12 +107,37 @@ def test_fused2d_gradients_match_composed():
     _assert_close_scaled(gw, gw_ref)
 
 
+def test_fused2d_grouped_gradients():
+    rng = np.random.default_rng(6)
+    sig = jnp.asarray(rng.standard_normal((1, 4, 140, 130)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((4, 2, 7, 5)).astype(np.float32))
+    gs, gw = jax.grad(
+        lambda s, w_: (fft_conv2d_fused(s, w_, groups=2) ** 2).mean(),
+        argnums=(0, 1),
+    )(sig, w)
+    gs_ref, gw_ref = jax.grad(
+        lambda s, w_: (fft_conv(s, w_, groups=2, impl="xla") ** 2).mean(),
+        argnums=(0, 1),
+    )(sig, w)
+    _assert_close_scaled(gs, gs_ref)
+    _assert_close_scaled(gw, gw_ref)
+
+
+def test_tile_plan_properties():
+    plan = tile_plan_2d(16, 16, 8, 8)
+    assert plan is not None
+    t1, nb1, t2, v2 = plan
+    assert t1 % 8 == 0 and t1 >= 128 + 15
+    assert nb1 == t1 // 2 + 1
+    assert t2 in (128, 256) and v2 == t2 - 15
+    # spectra budget exceeded -> no plan
+    assert tile_plan_2d(3, 3, 256, 256) is None
+
+
 def test_fused2d_validation():
     with pytest.raises(ValueError):
         fft_conv2d_fused(jnp.ones((1, 2, 100)), jnp.ones((2, 2, 3, 3)))
     with pytest.raises(ValueError):
         fft_conv2d_fused(jnp.ones((1, 2, 100, 100)), jnp.ones((2, 3, 3, 3)))
-    with pytest.raises(ValueError):  # KH >= stripe height
-        fft_conv2d_fused(jnp.ones((1, 1, 300, 300)), jnp.ones((1, 1, 130, 3)))
-    with pytest.raises(ValueError):  # W beyond fused limit
-        fft_conv2d_fused(jnp.ones((1, 1, 64, 2048)), jnp.ones((1, 1, 3, 3)))
+    with pytest.raises(ValueError):  # kernel larger than input
+        fft_conv2d_fused(jnp.ones((1, 1, 30, 300)), jnp.ones((1, 1, 130, 3)))
