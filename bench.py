@@ -72,7 +72,7 @@ def main():
     from fft_conv_tpu import fft_conv
     from fft_conv_tpu.bench.harness import benchmark_fori
     from fft_conv_tpu.kernels.fused1d import fft_conv1d_fused
-    from fft_conv_tpu.kernels.fused2d import fft_conv2d_fused
+    from fft_conv_tpu.ops.tiled import plan_tiles
 
     platform = jax.devices()[0].platform
     rng = np.random.default_rng(0)
@@ -101,11 +101,18 @@ def main():
         config_name = f"{ndim}d_L{size}_K{k}"
 
         paths = {"composed": lambda s, k_, b: fft_conv(s, k_, b, impl="xla")}
-        paths["tiled"] = lambda s, k_, b: fft_conv(s, k_, b, impl="tiled")
+        # skip tiled when its plan degenerates to the whole-signal transform
+        # (impl="tiled" then falls back to composed — nothing new to measure)
+        spatial, ksp = (size,) * ndim, (k,) * ndim
+        valid = tuple(s - kk + 1 for s, kk in zip(spatial, ksp))
+        tile, _, _ = plan_tiles(spatial, ksp, valid, (2, 8, 8))
+        if tile != tuple((s + 1) // 2 * 2 for s in spatial):
+            paths["tiled"] = lambda s, k_, b: fft_conv(s, k_, b, impl="tiled")
         if ndim == 1:
             paths["fused"] = fft_conv1d_fused
-        if ndim == 2:
-            paths["fused"] = fft_conv2d_fused
+        # fused2d is NOT timed here: its Mosaic compile is pathological
+        # (>500 s at these shapes, 2026-08-16) and would wedge the driver's
+        # bench run; the tiled overlap-save path is the 2D fast path.
 
         ref_out = None
         t_fft, best = None, None

@@ -18,7 +18,7 @@ dims are exactly T2 in {128, 256} lanes — no layout padding anywhere.
 Tile geometry: V1 = 128 valid output rows per tile (H windows overlap by
 K1-1, FFT length T1 = 8-aligned K1-1+128, one-sided: NB1 = T1//2+1 bins);
 W uses the smallest T2 in {128, 256} whose valid width V2 = T2-K2+1 keeps
-the overlap redundancy sane. Kernel spectra (Cout, NB1, Cin/g, T2) stay
+the overlap redundancy sane. Kernel spectra (Cout, Cin/g, NB1, T2) stay
 VMEM-resident across all grid cells (budget-checked for eligibility).
 
 Stride/dilation/groups/padding modes are wrapper transformations around the
@@ -84,7 +84,7 @@ def _mats_2d(t1: int, nb1: int, t2: int, v1: int):
 
 def _kernel_spectra_2d(kernel: jax.Array, t1: int, nb1: int, t2: int):
     """Conjugated spectra of the (Cout, Cin/g, K1, K2) kernel on the tile
-    grid, laid out (Cout, NB1, Cin/g, T2) split re/im — computed in XLA
+    grid, laid out (Cout, Cin/g, NB1, T2) split re/im — computed in XLA
     (cheap: matrices row-sliced to K taps)."""
     cout, cpg, k1, k2 = kernel.shape
     fr, fi, wr, wi = (jnp.asarray(m) for m in _mats_2d(t1, nb1, t2, _V1)[:4])
@@ -106,10 +106,9 @@ def _kernel_spectra_2d(kernel: jax.Array, t1: int, nb1: int, t2: int):
         jnp.einsum("oinw,wz->oinz", ar, wi_s, precision=hp)
         + jnp.einsum("oinw,wz->oinz", ai, wr_s, precision=hp)
     )
-    # conjugate (cross-correlation) + layout (Cout, NB1, Cpg, T2)
-    kr = jnp.transpose(br, (0, 2, 1, 3))
-    ki = jnp.transpose(-bi, (0, 2, 1, 3))
-    return kr, ki
+    # conjugate (cross-correlation); layout (Cout, Cpg, NB1, T2) so the
+    # kernel's per-(o, c) MAC slice is a contiguous (NB1, T2) 2D block
+    return br, -bi
 
 
 def _make_kernel_2d(t1, nb1, t2, v1, v2, nt2, cin, cout, groups, precision):
@@ -124,8 +123,7 @@ def _make_kernel_2d(t1, nb1, t2, v1, v2, nt2, cin, cout, groups, precision):
         b = pl.program_id(0)
         i = pl.program_id(1)
         # x is pre-windowed along W in XLA: (B, Cin, nt2, Hpad, T2). One cell
-        # processes ALL nt2 W-tiles of an H-block, so every matmul has a big
-        # merged M dim and the grid stays small (cell overhead amortized).
+        # processes ALL nt2 W-tiles of an H-block.
         # Only the H (sublane) axis is sliced — its offsets are 128-aligned;
         # lane-axis DMA offsets would have to be 128-aligned too, which the
         # overlapping V2 stride cannot satisfy (Mosaic rejects it).
@@ -135,59 +133,59 @@ def _make_kernel_2d(t1, nb1, t2, v1, v2, nt2, cin, cout, groups, precision):
         )
         dma.start()
         dma.wait()
-        a = x_vmem[...]  # (Cin, nt2, T1, T2) real
 
-        # H one-sided DFT; contracting rhs dim 2 also rotates the layout:
-        # (NB1, T1) x (Cin, nt2, T1, T2) -> (NB1, Cin, nt2, T2)
-        dn_a = (((1,), (2,)), ((), ()))
-        br = _dot(fr[...], a, dn_a, precision)
-        bi = _dot(fi[...], a, dn_a, precision)
-        # W full DFT: right-multiply (T2, T2)
-        dn_b = (((3,), (0,)), ((), ()))
-        dr = (
-            _dot(br, wr[...], dn_b, precision)
-            - _dot(bi, wi[...], dn_b, precision)
-        )
-        di = (
-            _dot(br, wi[...], dn_b, precision)
-            + _dot(bi, wr[...], dn_b, precision)
-        )
+        # Every matmul below is a plain 2D dot with M in {NB1, V1} rows —
+        # rank>2 dot_generals with large leading dims make Mosaic unroll
+        # one M=1 vector-matmul per leading element (observed: >500 s
+        # compiles and 8x MXU under-utilization), so the (W-tile, channel)
+        # structure is explicit Python loops over 2D VMEM slices instead.
+        frm, fim = fr[...], fi[...]  # (NB1, T1)
+        wrm, wim = wr[...], wi[...]  # (T2, T2)
+        urm, uim = ur[...], ui[...]
+        crm, cim = cr[...], ci[...]  # (V1, NB1)
+        dn2 = (((1,), (0,)), ((), ()))
 
-        # per-out-channel grouped MAC over Cin/g (VPU; spectra conjugated,
-        # broadcast over the nt2 tile axis)
-        yr_parts, yi_parts = [], []
-        for o in range(cout):
-            go = o // opg
-            dr_g = dr[:, go * cpg:(go + 1) * cpg, :, :]
-            di_g = di[:, go * cpg:(go + 1) * cpg, :, :]
-            kr_o = kr_ref[o][:, :, None, :]  # (NB1, Cpg, 1, T2)
-            ki_o = ki_ref[o][:, :, None, :]
-            yr_parts.append(
-                jnp.sum(dr_g * kr_o - di_g * ki_o, axis=1, keepdims=True)
-            )
-            yi_parts.append(
-                jnp.sum(dr_g * ki_o + di_g * kr_o, axis=1, keepdims=True)
-            )
-        yr = jnp.concatenate(yr_parts, axis=1)  # (NB1, Cout, nt2, T2)
-        yi = jnp.concatenate(yi_parts, axis=1)
-
-        # inverse W DFT
-        er = (
-            _dot(yr, ur[...], dn_b, precision)
-            - _dot(yi, ui[...], dn_b, precision)
-        )
-        ei = (
-            _dot(yr, ui[...], dn_b, precision)
-            + _dot(yi, ur[...], dn_b, precision)
-        )
-        # inverse H irfft, valid rows only: (V1, NB1) x (NB1, Cout, nt2, T2),
-        # contracting the rhs's leading bin axis
-        dn_c = (((1,), (0,)), ((), ()))
-        out = (
-            _dot(cr[...], er, dn_c, precision)
-            + _dot(ci[...], ei, dn_c, precision)
-        )
-        out_ref[0, 0] = out  # (V1, Cout, nt2, T2)
+        for j in range(nt2):
+            # forward H (one-sided) + W (full) DFTs per in-channel
+            drs, dis = [], []
+            for c in range(cin):
+                a = x_vmem[c, j]  # (T1, T2) real
+                hr = _dot(frm, a, dn2, precision)  # (NB1, T2)
+                hi = _dot(fim, a, dn2, precision)
+                drs.append(
+                    _dot(hr, wrm, dn2, precision)
+                    - _dot(hi, wim, dn2, precision)
+                )
+                dis.append(
+                    _dot(hr, wim, dn2, precision)
+                    + _dot(hi, wrm, dn2, precision)
+                )
+            # grouped per-bin MAC (VPU) + inverse transforms per out-channel
+            for o in range(cout):
+                go = o // opg
+                yr = yi = None
+                for cg in range(cpg):
+                    c = go * cpg + cg
+                    kro = kr_ref[o, cg]  # (NB1, T2), contiguous slice
+                    kio = ki_ref[o, cg]
+                    tr = drs[c] * kro - dis[c] * kio
+                    ti = drs[c] * kio + dis[c] * kro
+                    yr = tr if yr is None else yr + tr
+                    yi = ti if yi is None else yi + ti
+                er = (
+                    _dot(yr, urm, dn2, precision)
+                    - _dot(yi, uim, dn2, precision)
+                )
+                ei = (
+                    _dot(yr, uim, dn2, precision)
+                    + _dot(yi, urm, dn2, precision)
+                )
+                # inverse H irfft, valid rows only: (V1, NB1) x (NB1, T2)
+                out = (
+                    _dot(crm, er, dn2, precision)
+                    + _dot(cim, ei, dn2, precision)
+                )
+                out_ref[0, 0, :, o, j, :] = out
 
     return body
 
@@ -203,11 +201,11 @@ def _fused2d_call(
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # x in HBM
             pl.BlockSpec(
-                (cout, nb1, cpg, t2), lambda b_, i: (0, 0, 0, 0),
+                (cout, cpg, nb1, t2), lambda b_, i: (0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (cout, nb1, cpg, t2), lambda b_, i: (0, 0, 0, 0),
+                (cout, cpg, nb1, t2), lambda b_, i: (0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ] + [mat_spec() for _ in range(8)],

@@ -90,7 +90,7 @@ class _FFTConvBase:
         self.dilation = to_ntuple(dilation, n)
         self.groups = int(groups)
         self.padding_mode = padding_mode
-        if impl not in ("auto", "xla", "fused"):
+        if impl not in ("auto", "xla", "fused", "tiled"):
             raise ValueError(f"unknown impl: {impl!r}")
         self.impl = impl
 

@@ -256,7 +256,11 @@ def fft_conv(
                     "no fused FFT configuration fits this shape (kernel "
                     "spectra exceed the VMEM budget or signal too small)"
                 )
-        if eligible and n == 2 and (impl == "fused" or _on_tpu()):
+        # 2D fused is explicit-opt-in only: its Mosaic compile time on real
+        # TPU is pathological (>500 s observed at the benchmark shapes,
+        # 2026-08-16) so "auto" must never route into it; the tiled
+        # overlap-save path below covers the 2D fast path instead.
+        if eligible and n == 2 and impl == "fused":
             from ..kernels.fused2d import fft_conv2d_fused, tile_plan_2d
 
             k_dil = [
@@ -339,6 +343,20 @@ def _fft_conv(
             f"input spatial {signal.shape[2:]} vs (dilated) kernel "
             f"{kernel.shape[2:]}"
         )
+
+    if use_tiled:
+        from .tiled import plan_tiles, tiled_valid_corr
+
+        # degenerate plan (every axis untiled) means overlap-save buys
+        # nothing: a single whole-axis dense DFT matmul would be strictly
+        # worse than the FFT transform below (e.g. a 32768-point axis whose
+        # kernel exceeds every tile candidate) — fall through
+        tile, _, _ = plan_tiles(
+            signal.shape[2:], kernel.shape[2:], tuple(valid),
+            (signal.shape[0], signal.shape[1], kernel.shape[0]),
+        )
+        whole = tuple((s + 1) // 2 * 2 for s in signal.shape[2:])
+        use_tiled = tile != whole
 
     if use_tiled:
         from .tiled import tiled_valid_corr
@@ -515,11 +533,23 @@ def _fft_conv_transpose(
     )
 
     if use_tiled:
+        from .tiled import plan_tiles
+
+        # degenerate plan (every axis untiled) — whole-axis dense DFTs are
+        # strictly worse than the FFT path below; fall through (see _fft_conv)
+        out_full = tuple(o + p for o, p in zip(out_shape, padding_))
+        tile, _, _ = plan_tiles(
+            signal_.shape[2:], kernel.shape[2:], out_full,
+            (signal_.shape[0], signal_.shape[1], kernel.shape[0]),
+        )
+        whole = tuple((s + 1) // 2 * 2 for s in signal_.shape[2:])
+        use_tiled = tile != whole
+
+    if use_tiled:
         from .tiled import tiled_valid_corr
 
         # outputs [0 : out+p) of the zero-extended correlation, then drop
         # the first p per dim — padding removes border (functional.py:163-169)
-        out_full = tuple(o + p for o, p in zip(out_shape, padding_))
         out = tiled_valid_corr(signal_, kernel, groups, out_len=out_full)
         out = lax.slice(
             out,

@@ -76,6 +76,7 @@ def fft_conv_sharded(
     data_axis: Optional[str] = "data",
     model_axis: Optional[str] = "model",
     tp_mode: str = "out",
+    impl: str = "auto",
 ) -> jax.Array:
     """DP+TP fft_conv over a mesh. Semantics identical to ``ops.fft_conv``.
 
@@ -83,6 +84,11 @@ def fft_conv_sharded(
     (Cout, Cin/groups, *k): Cout (or Cin for tp_mode="in") sharded over
     ``model_axis``. Returns output sharded (data, model) over (B, Cout)
     — or replicated over model for tp_mode="in".
+
+    ``impl`` selects each shard's local implementation exactly as in
+    ``ops.fft_conv`` — batch/channel sharding never changes the local
+    spatial shapes, so the fused Pallas kernels compose with DP/TP
+    (validated on the 8-device CPU mesh in tests/test_sharding.py).
     """
     data = data_axis if data_axis and mesh.shape.get(data_axis, 1) > 1 else None
     model = model_axis if model_axis and mesh.shape.get(model_axis, 1) > 1 else None
@@ -104,7 +110,7 @@ def fft_conv_sharded(
         dilation=to_ntuple(dilation, n),
         groups=local_groups,
         padding_mode=padding_mode,
-        impl="xla",  # Pallas-inside-shard_map is not validated; pin composed
+        impl=impl,
     )
 
     if tp_mode == "in" and model:
@@ -149,10 +155,12 @@ def fft_conv_transpose_sharded(
     mesh: Mesh,
     data_axis: Optional[str] = "data",
     model_axis: Optional[str] = "model",
+    impl: str = "auto",
 ) -> jax.Array:
     """DP+TP transposed fft_conv. Kernel layout (Cin, Cout/g, *k) means TP
     shards dim 1 (out-channels within each group) when groups == 1, or whole
-    groups on dim 0 otherwise (mirroring ``fft_conv_sharded``)."""
+    groups on dim 0 otherwise (mirroring ``fft_conv_sharded``); ``impl``
+    selects the per-shard implementation as in ``ops.fft_conv_transpose``."""
     data = data_axis if data_axis and mesh.shape.get(data_axis, 1) > 1 else None
     model = model_axis if model_axis and mesh.shape.get(model_axis, 1) > 1 else None
     model_size = mesh.shape[model] if model else 1
@@ -197,7 +205,7 @@ def fft_conv_transpose_sharded(
         output_padding=to_ntuple(output_padding, n),
         dilation=to_ntuple(dilation, n),
         groups=local_groups,
-        impl="xla",  # Pallas-inside-shard_map is not validated; pin composed
+        impl=impl,
     )
 
     def body(s, k, b):

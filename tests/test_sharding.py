@@ -162,6 +162,65 @@ def test_transpose_shard_map_matches(groups):
 
 
 @requires_8_devices
+@pytest.mark.parametrize("impl", ["fused", "tiled"])
+def test_dp_tp_shard_map_fused_impl_matches(impl):
+    """The fast local paths (fused Pallas kernel in interpret mode on CPU,
+    tiled overlap-save) compose with DP+TP shard_map: batch/out-channel
+    sharding never changes a shard's local spatial shapes."""
+    rng = np.random.default_rng(9)
+    mesh = make_mesh(data=4, model=2)
+    sig = _rand(rng, (8, 6, 256))
+    w = _rand(rng, (8, 6, 33))
+    b = _rand(rng, (8,))
+    y_ref = fft_conv(sig, w, b, padding=16, impl="xla")
+    y = fft_conv_sharded(sig, w, b, padding=16, mesh=mesh, impl=impl)
+    assert y.shape == y_ref.shape
+    _assert_almost_equal(y, y_ref)
+
+
+@requires_8_devices
+def test_dp_tp_shard_map_fused2d_matches():
+    rng = np.random.default_rng(10)
+    mesh = make_mesh(data=2, model=2)
+    sig = _rand(rng, (4, 4, 96, 160))
+    w = _rand(rng, (4, 4, 5, 5))
+    b = _rand(rng, (4,))
+    y_ref = fft_conv(sig, w, b, padding=2, impl="xla")
+    y = fft_conv_sharded(sig, w, b, padding=2, mesh=mesh, impl="fused")
+    assert y.shape == y_ref.shape
+    _assert_almost_equal(y, y_ref)
+
+
+@requires_8_devices
+def test_transpose_shard_map_fused_impl_matches():
+    rng = np.random.default_rng(11)
+    mesh = make_mesh(data=2, model=2)
+    sig = _rand(rng, (4, 6, 128))
+    w = _rand(rng, (6, 8, 9))
+    b = _rand(rng, (8,))
+    y_ref = fft_conv_transpose(sig, w, b, impl="xla")
+    y = fft_conv_transpose_sharded(sig, w, b, mesh=mesh, impl="fused")
+    assert y.shape == y_ref.shape
+    _assert_almost_equal(y, y_ref)
+
+
+@requires_8_devices
+def test_sharded_fused_gradients_match():
+    """custom_vjp of the fused kernel under shard_map (backward runs the
+    composed path per shard)."""
+    rng = np.random.default_rng(12)
+    mesh = make_mesh(data=4, model=2)
+    sig = _rand(rng, (8, 6, 256))
+    w = _rand(rng, (8, 6, 33))
+    b = _rand(rng, (8,))
+    g = jax.grad(
+        lambda w_: fft_conv_sharded(sig, w_, b, mesh=mesh, impl="fused").sum()
+    )(w)
+    g_ref = jax.grad(lambda w_: fft_conv(sig, w_, b, impl="xla").sum())(w)
+    _assert_almost_equal(g, g_ref)
+
+
+@requires_8_devices
 def test_sharded_gradients_match():
     rng = np.random.default_rng(8)
     mesh = make_mesh(data=4, model=2)
