@@ -13,9 +13,9 @@ vs_baseline  = value / 5.0 — fraction of the BASELINE.md target
                (">=5x speedup vs XLA direct conv for kernels >= 128
                elements on v5e"); >= 1.0 means target met.
 
-For each config the framework's time is the best of its paths: composed-XLA
-(impl="xla"), tiled overlap-save (impl="tiled"), and the fused Pallas kernel
-(1D). Every measured path is also PARITY-GATED against the composed path
+For each config the framework's time is the best of its paths: the fused
+Pallas kernels (1D/2D) where they fit, the composed-XLA path otherwise.
+Every measured path is also PARITY-GATED against the composed path
 (which the CPU test grid validates against torch): a mismatch beyond the
 scale-aware tolerance fails the whole benchmark loudly, so each driver bench
 run doubles as a real-hardware correctness check of the fast paths.
@@ -67,12 +67,22 @@ def _assert_parity(name, ref, got, config):
 def main():
     import jax
 
+    # persistent compile cache: the fused/composed pipelines cost 5-15 s
+    # each to compile; repeat runs (driver rounds, reruns after tunnel
+    # wedges) then start timing immediately
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/fft_conv_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from fft_conv_tpu import fft_conv
     from fft_conv_tpu.bench.harness import benchmark_fori
     from fft_conv_tpu.kernels.fused1d import fft_conv1d_fused
-    from fft_conv_tpu.ops.tiled import plan_tiles
+    from fft_conv_tpu.kernels.fused2d import fft_conv2d_fused
 
     platform = jax.devices()[0].platform
     rng = np.random.default_rng(0)
@@ -101,18 +111,13 @@ def main():
         config_name = f"{ndim}d_L{size}_K{k}"
 
         paths = {"composed": lambda s, k_, b: fft_conv(s, k_, b, impl="xla")}
-        # skip tiled when its plan degenerates to the whole-signal transform
-        # (impl="tiled" then falls back to composed — nothing new to measure)
-        spatial, ksp = (size,) * ndim, (k,) * ndim
-        valid = tuple(s - kk + 1 for s, kk in zip(spatial, ksp))
-        tile, _, _ = plan_tiles(spatial, ksp, valid, (2, 8, 8))
-        if tile != tuple((s + 1) // 2 * 2 for s in spatial):
-            paths["tiled"] = lambda s, k_, b: fft_conv(s, k_, b, impl="tiled")
+        # the tiled overlap-save path is NOT timed separately: the fused
+        # kernels beat it wherever its plan is non-degenerate (it remains
+        # the auto fallback for shapes the fused kernels don't fit)
         if ndim == 1:
             paths["fused"] = fft_conv1d_fused
-        # fused2d is NOT timed here: its Mosaic compile is pathological
-        # (>500 s at these shapes, 2026-08-16) and would wedge the driver's
-        # bench run; the tiled overlap-save path is the 2D fast path.
+        if ndim == 2:
+            paths["fused"] = fft_conv2d_fused
 
         ref_out = None
         t_fft, best = None, None
@@ -122,10 +127,16 @@ def main():
                 jax.block_until_ready(out)
                 if name == "composed":
                     ref_out = np.asarray(out)
+                    if len(paths) > 1:
+                        # composed is only the parity reference when a fused
+                        # path exists — timing it too would double the
+                        # compile bill (~30 s/config through the tunnel)
+                        continue
                 else:
                     _assert_parity(name, ref_out, out, config_name)
                 t = benchmark_fori(fn, sig, ker, bias,
-                                   num_iterations=iters).mean
+                                   num_iterations=iters,
+                                   min_work_s=0.02).mean
             except AssertionError:
                 raise  # parity failures must sink the benchmark
             except Exception as e:  # a slow path may not fit; keep going
@@ -137,6 +148,7 @@ def main():
 
         t_direct = benchmark_fori(
             direct_conv_fn(ndim), sig, ker, bias, num_iterations=iters,
+            min_work_s=0.02,
         ).mean
         speedups.append(t_direct / t_fft)
         details.append(

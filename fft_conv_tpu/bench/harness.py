@@ -157,6 +157,7 @@ def benchmark_fori(
     signal: jax.Array,
     *rest,
     num_iterations: int = 20,
+    min_work_s: float = 0.0,
     **kwargs,
 ) -> Benchmark:
     """Device-side loop timing: the only trustworthy mode through the TPU
@@ -179,37 +180,52 @@ def benchmark_fori(
     import jax.numpy as _jnp
     from jax import lax as _lax
 
-    def make(iters):
-        def loop(x, *r):
-            def body(_, carry):
-                x, acc = carry
-                out = fn(x, *r, **kwargs)
-                # consume EVERY output element: reading just out[0] lets XLA
-                # partially evaluate sliceable ops (a bare matmul timed as
-                # ~0 ms that way — measured); a full reduction cannot be
-                # sliced through.
-                s = _jnp.sum(_jnp.real(out)) * 1e-30
-                return (x + s, acc + s)
+    # The trip count is a TRACED argument: one compile covers the N and 2N
+    # loops AND any adaptive re-measure below (a static count would compile
+    # the full pipeline once per loop variant — fused-kernel pipelines take
+    # 10-15 s each, and bench.py times ~20 (path, config) pairs).
+    def loop(iters, x, *r):
+        def body(_, carry):
+            x, acc = carry
+            out = fn(x, *r, **kwargs)
+            # consume EVERY output element: reading just out[0] lets XLA
+            # partially evaluate sliceable ops (a bare matmul timed as
+            # ~0 ms that way — measured); a full reduction cannot be
+            # sliced through.
+            s = _jnp.sum(_jnp.real(out)) * 1e-30
+            return (x + s, acc + s)
 
-            _, acc = _lax.fori_loop(0, iters, body, (x, 0.0))
-            return acc
+        _, acc = _lax.fori_loop(0, iters, body, (x, 0.0))
+        return acc
 
-        return jax.jit(loop)
+    loop = jax.jit(loop)
+    float(loop(_jnp.int32(num_iterations), signal, *rest))  # warm-up/compile
 
-    loop_n = make(num_iterations)
-    loop_2n = make(2 * num_iterations)
-    float(loop_n(signal, *rest))  # warm-up / compile
-    float(loop_2n(signal, *rest))
-    t_n, t_2n = [], []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(loop_n(signal, *rest))  # host fetch = real barrier
-        t_n.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        float(loop_2n(signal, *rest))
-        t_2n.append(time.perf_counter() - t0)
-    per_iter = (np.min(t_2n) - np.min(t_n)) / num_iterations
-    spread = (np.std(t_2n) + np.std(t_n)) / num_iterations
+    def measure(iters):
+        n = _jnp.int32(iters)
+        n2 = _jnp.int32(2 * iters)
+        t_n, t_2n = [], []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(loop(n, signal, *rest))  # host fetch = real barrier
+            t_n.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            float(loop(n2, signal, *rest))
+            t_2n.append(time.perf_counter() - t0)
+        per_iter = (np.min(t_2n) - np.min(t_n)) / iters
+        spread = (np.std(t_2n) + np.std(t_n)) / iters
+        return per_iter, spread
+
+    per_iter, spread = measure(num_iterations)
+    # Sub-ms ops: N iterations of differential work can be swamped by the
+    # ~ms jitter on the ~25 ms tunnel dispatch (observed: the same config
+    # timed 0.025-0.177 ms across reps at N=25). Re-measure with N scaled
+    # so the differential term is at least ``min_work_s`` of device time
+    # (same compiled loop — the trip count is traced).
+    if min_work_s > 0 and per_iter * num_iterations < min_work_s:
+        scaled = min(2000, int(np.ceil(min_work_s / max(per_iter, 1e-7))))
+        if scaled > num_iterations:
+            per_iter, spread = measure(scaled)
     return Benchmark(float(max(per_iter, 1e-9)), float(spread))
 
 

@@ -45,6 +45,23 @@ from .fused1d import _dot
 
 # resident kernel-spectra budget (bytes): Cout*NB1*(Cin/g)*T2*8 must fit
 _KER_VMEM_BUDGET = 8 * 2**20
+
+# 2D kernel matmul precision. Default bf16x3 (hi/lo split, 3 bf16 MXU passes
+# per dot): measured on v5e 2026-08-16 vs full-f32 HIGHEST at the 512^2
+# benchmark — 0.524 ms vs 0.781 ms (K=16), 0.704 vs 1.002 (K=34) — with
+# relative error ~1.3e-6 (abs mean 2.7e-4 at |out|~200), far inside the
+# 5e-5/1e-4 test bar at unit scales.
+_PRECISION_2D = "bf16x3"
+
+
+def set_fused2d_precision(mode: str) -> None:
+    """Selects the 2D kernel's matmul precision ("highest" | "bf16x3")."""
+    global _PRECISION_2D
+    if mode not in ("highest", "bf16x3"):
+        raise ValueError(f"unknown fused precision mode: {mode!r}")
+    if mode != _PRECISION_2D:
+        _PRECISION_2D = mode
+        _fused2d_call.cache_clear()
 # valid output rows per tile (H); T1 = K1-1+V1 rounded up to a multiple of 8
 _V1 = 128
 _T2_CANDIDATES = (128, 256)
@@ -194,6 +211,8 @@ def _make_kernel_2d(t1, nb1, t2, v1, v2, nt2, cin, cout, groups, precision):
 def _fused2d_call(
     b, nt1, nt2, t1, nb1, t2, v1, v2, cin, cout, groups, precision, interpret
 ):
+    if interpret and precision == "bf16x3":
+        precision = "bf16x3_exact"  # see fused1d._dot3
     cpg = cin // groups
     mat_spec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     grid_spec = pl.GridSpec(
@@ -285,7 +304,7 @@ def _fused2d_forward(x_padded, kernel, out_hw, groups=1):
 
     call = _fused2d_call(
         b, nt1, nt2, t1, nb1, t2, v1, v2, cin, cout, groups,
-        fused1d._PRECISION_MODE, _is_cpu(),
+        _PRECISION_2D, _is_cpu(),
     )
     out = call(x, kr, ki, *mats)
     # (B, nt1, V1, Cout, nt2, T2): crop W valid, stitch, crop to out_hw

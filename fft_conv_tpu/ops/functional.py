@@ -256,11 +256,7 @@ def fft_conv(
                     "no fused FFT configuration fits this shape (kernel "
                     "spectra exceed the VMEM budget or signal too small)"
                 )
-        # 2D fused is explicit-opt-in only: its Mosaic compile time on real
-        # TPU is pathological (>500 s observed at the benchmark shapes,
-        # 2026-08-16) so "auto" must never route into it; the tiled
-        # overlap-save path below covers the 2D fast path instead.
-        if eligible and n == 2 and impl == "fused":
+        if eligible and n == 2 and (impl == "fused" or _on_tpu()):
             from ..kernels.fused2d import fft_conv2d_fused, tile_plan_2d
 
             k_dil = [

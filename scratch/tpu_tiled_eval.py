@@ -24,7 +24,7 @@ for ndim, size, k in CASES[sys.argv[1]]:
     ref = CONV[ndim](torch.tensor(x), torch.tensor(w)).numpy()
     sig, ker = jnp.asarray(x), jnp.asarray(w)
     print(f"== {ndim}D L={size} K={k}")
-    for prec in ("highest", "high"):
+    for prec in ("highest", "bf16x3"):
         S.set_spectral_precision(prec)
         fn = jax.jit(lambda s, w_: fft_conv(s, w_, impl="tiled"))
         got = np.asarray(fn(sig, ker))

@@ -212,7 +212,9 @@ def test_fused_is_jittable():
     w = jnp.asarray(rng.standard_normal((2, 2, 128)).astype(np.float32))
     y0 = fft_conv1d_fused(sig, w)
     y1 = jax.jit(fft_conv1d_fused)(sig, w)
-    assert np.allclose(np.asarray(y0), np.asarray(y1), atol=1e-5)
+    # eager and jit compile separately; f32 reduction order differs across
+    # the bf16x3 split's three partial dots (rel ~5e-7 at |out|~70)
+    assert np.allclose(np.asarray(y0), np.asarray(y1), atol=1e-4)
 
 
 def test_fused_fallback_small_or_unsupported():
