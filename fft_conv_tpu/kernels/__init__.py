@@ -6,14 +6,23 @@ from .fused1d import (
     plan_fft_conv1d,
     set_fused_precision,
 )
-from .fused2d import fft_conv2d_fused, fft_conv_transpose2d_fused, tile_plan_2d
+from .fused2d import (
+    fft_conv2d_fused,
+    fft_conv_transpose2d_fused,
+    set_fused2d_precision,
+    tile_plan_2d,
+)
+from .fused3d import fft_conv3d_fused, plan_3d
 
 __all__ = [
     "fft_conv1d_fused",
     "fft_conv2d_fused",
+    "fft_conv3d_fused",
     "fft_conv_transpose1d_fused",
     "fft_conv_transpose2d_fused",
     "tile_plan_2d",
+    "plan_3d",
+    "set_fused2d_precision",
     "plan_fft_conv1d",
     "set_fused_precision",
     "choose_fft_size",

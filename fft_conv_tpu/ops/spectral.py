@@ -240,6 +240,10 @@ def _contract_append(x: jax.Array, mat: jax.Array, pos: int) -> jax.Array:
     into a transpose-matmul-transpose (measured 0.271 ms at (2,8,512,512) x
     (512,512) HIGHEST on v5e); removing it and appending the result axis is
     matmul-natural (0.179 ms; 0.040 ms when pos is already last).
+
+    (A VPU broadcast-multiply-sum for tiny contractions was tried for the
+    row-sliced kernel matrices and measured 3.4x SLOWER than the einsum on
+    v5e — XLA materializes the broadcast — so everything stays on the MXU.)
     """
     subs = _LETTERS[: x.ndim]
     a = subs[pos]

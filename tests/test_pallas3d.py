@@ -1,0 +1,107 @@
+"""Fused 3D Pallas whole-volume kernel tests (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as TF
+
+from fft_conv_tpu import fft_conv
+from fft_conv_tpu.kernels.fused3d import fft_conv3d_fused, plan_3d
+
+
+def _assert_close_scaled(y, y_ref):
+    y = np.asarray(y)
+    y_ref = np.asarray(y_ref)
+    assert y.shape == y_ref.shape
+    scale = max(1.0, float(np.std(y_ref)))
+    err = np.abs(y - y_ref)
+    assert err.mean() < 5e-5 * scale
+    assert err.max() < 2e-4 * scale
+
+
+CONFIGS = [
+    # (B, cin, cout, D, H, W, KD, KH, KW, pad)
+    (1, 2, 3, 20, 24, 16, 3, 5, 4, 0),
+    (2, 4, 4, 32, 32, 32, 4, 4, 4, 2),
+    (1, 1, 1, 10, 14, 12, 2, 3, 5, 0),
+    (1, 2, 2, 17, 19, 21, 5, 7, 3, 0),   # odd sizes
+]
+
+
+@pytest.mark.parametrize("b,cin,cout,d,h,w,kd,kh,kw,pad", CONFIGS)
+def test_fused3d_matches_torch(b, cin, cout, d, h, w, kd, kh, kw, pad):
+    rng = np.random.default_rng(d + kh)
+    sig = rng.standard_normal((b, cin, d, h, w)).astype(np.float32)
+    ker = rng.standard_normal((cout, cin, kd, kh, kw)).astype(np.float32)
+    bias = rng.standard_normal((cout,)).astype(np.float32)
+    ref = TF.conv3d(
+        torch.tensor(sig), torch.tensor(ker), torch.tensor(bias), padding=pad
+    ).numpy()
+    got = fft_conv3d_fused(
+        jnp.asarray(sig), jnp.asarray(ker), jnp.asarray(bias), padding=pad
+    )
+    _assert_close_scaled(got, ref)
+
+
+@pytest.mark.parametrize("stride,dilation", [(2, 1), (1, 2), ((2, 1, 3), 1)])
+def test_fused3d_stride_dilation(stride, dilation):
+    rng = np.random.default_rng(5)
+    sig = rng.standard_normal((1, 2, 18, 20, 16)).astype(np.float32)
+    ker = rng.standard_normal((3, 2, 3, 3, 3)).astype(np.float32)
+    ref = TF.conv3d(
+        torch.tensor(sig), torch.tensor(ker), stride=stride, dilation=dilation
+    ).numpy()
+    got = fft_conv3d_fused(
+        jnp.asarray(sig), jnp.asarray(ker), stride=stride, dilation=dilation
+    )
+    _assert_close_scaled(got, ref)
+
+
+def test_fused3d_padding_modes():
+    rng = np.random.default_rng(6)
+    sig = rng.standard_normal((1, 2, 12, 14, 12)).astype(np.float32)
+    ker = rng.standard_normal((2, 2, 3, 3, 3)).astype(np.float32)
+    for mode, tmode in [("reflect", "reflect"), ("replicate", "replicate"),
+                        ("circular", "circular")]:
+        tsig = torch.nn.functional.pad(
+            torch.tensor(sig), (2, 2, 2, 2, 2, 2), mode=tmode
+        )
+        ref = TF.conv3d(tsig, torch.tensor(ker)).numpy()
+        got = fft_conv3d_fused(
+            jnp.asarray(sig), jnp.asarray(ker), padding=2, padding_mode=mode
+        )
+        _assert_close_scaled(got, ref)
+
+
+def test_fused3d_gradients_match_composed():
+    rng = np.random.default_rng(7)
+    sig = jnp.asarray(rng.standard_normal((1, 2, 16, 16, 16)).astype(np.float32))
+    ker = jnp.asarray(rng.standard_normal((2, 2, 3, 3, 3)).astype(np.float32))
+    g = jax.grad(lambda k: fft_conv3d_fused(sig, k).sum())(ker)
+    g_ref = jax.grad(lambda k: fft_conv(sig, k, impl="xla").sum())(ker)
+    _assert_close_scaled(g, g_ref)
+    gx = jax.grad(lambda s: fft_conv3d_fused(s, ker).sum())(sig)
+    gx_ref = jax.grad(lambda s: fft_conv(s, ker, impl="xla").sum())(sig)
+    _assert_close_scaled(gx, gx_ref)
+
+
+def test_fused3d_groups_rejected_and_fallback():
+    sig = jnp.ones((1, 4, 10, 10, 10))
+    ker = jnp.ones((4, 2, 3, 3, 3))
+    with pytest.raises(ValueError):
+        fft_conv3d_fused(sig, ker)
+    # plan misses (W too wide) -> composed fallback, still correct
+    rng = np.random.default_rng(8)
+    s = rng.standard_normal((1, 1, 4, 4, 200)).astype(np.float32)
+    k = rng.standard_normal((1, 1, 2, 2, 7)).astype(np.float32)
+    assert plan_3d(1, 1, 4, 4, 200, 2, 2, 7) is None
+    ref = TF.conv3d(torch.tensor(s), torch.tensor(k)).numpy()
+    got = fft_conv3d_fused(jnp.asarray(s), jnp.asarray(k))
+    _assert_close_scaled(got, ref)
+
+
+def test_fused3d_kernel_too_large_raises():
+    with pytest.raises(ValueError):
+        fft_conv3d_fused(jnp.ones((1, 1, 4, 4, 4)), jnp.ones((1, 1, 6, 3, 3)))
