@@ -134,9 +134,13 @@ def main():
                         continue
                 else:
                     _assert_parity(name, ref_out, out, config_name)
-                t = benchmark_fori(fn, sig, ker, bias,
-                                   num_iterations=iters,
-                                   min_work_s=0.02).mean
+                # best-of-2 full measurements: single-run row noise through
+                # the tunnel is ~±15%, enough to flip borderline rows
+                t = min(
+                    benchmark_fori(fn, sig, ker, bias, num_iterations=iters,
+                                   min_work_s=0.05).mean
+                    for _ in range(2)
+                )
             except AssertionError:
                 raise  # parity failures must sink the benchmark
             except Exception as e:  # a slow path may not fit; keep going
@@ -146,10 +150,12 @@ def main():
             if t_fft is None or t < t_fft:
                 t_fft, best = t, name
 
-        t_direct = benchmark_fori(
-            direct_conv_fn(ndim), sig, ker, bias, num_iterations=iters,
-            min_work_s=0.02,
-        ).mean
+        direct_fn = direct_conv_fn(ndim)
+        t_direct = min(
+            benchmark_fori(direct_fn, sig, ker, bias, num_iterations=iters,
+                           min_work_s=0.05).mean
+            for _ in range(2)
+        )
         speedups.append(t_direct / t_fft)
         details.append(
             {

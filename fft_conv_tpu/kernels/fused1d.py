@@ -64,18 +64,27 @@ def fused_split(n: int) -> Tuple[int, int]:
 
 
 def choose_fft_size(k: int, l_padded: int, cin: int, cout: int) -> Optional[int]:
-    """Largest candidate N with resident spectra in budget and V >= N2.
+    """Candidate N minimizing modeled per-output cost, spectra in budget.
 
-    Returns None when no candidate works (caller falls back to the composed
-    path)."""
-    best = None
+    Cost per valid output sample ~ (N1 + c) * N/V: stage-1 contraction
+    work grows with N1 = N/128 while overlap redundancy N/V shrinks with
+    N. c ~ 128 lumps the N-independent stage-2/MAC/inverse work. The
+    model reproduces the v5e sweep (2026-08-17): K=256 -> 2048,
+    K=1024 -> 4096, K=3840 -> 8192.
+
+    Returns None when no candidate works (caller falls back to the
+    composed path)."""
+    best, best_cost = None, None
     for n in _FFT_SIZES:
         if cout * cin * n * 8 > _KER_VMEM_BUDGET:
             break
-        _, n2 = fused_split(n)
+        n1, n2 = fused_split(n)
         v = ((n - k + 1) // n2) * n2 if n >= k else 0
-        if v >= n2:
-            best = n
+        if v < n2:
+            continue
+        cost = (n1 + 128.0) * n / v
+        if best_cost is None or cost < best_cost:
+            best, best_cost = n, cost
         if n >= 2 * l_padded:
             break
     return best
@@ -163,43 +172,45 @@ def _dot(a, b, dn, precision):
 
 
 def _mm_right(x_re, x_im, m_re, m_im, precision):
-    """(N1, C, N2) complex @ (N2,N2) complex -> (re, im)."""
-    dn = (((2,), (0,)), ((), ()))
+    """(..., N2) complex @ (N2,N2) complex -> (re, im): minor contraction."""
+    dn = (((x_re.ndim - 1,), (0,)), ((), ()))
     dot = lambda a, b: _dot(a, b, dn, precision)  # noqa: E731
     re = dot(x_re, m_re) - dot(x_im, m_im)
     im = dot(x_re, m_im) + dot(x_im, m_re)
     return re, im
 
 
-def _make_kernel(n1, n2, cin, cout, v1, vrow, precision, groups=1):
+def _make_kernel(n1, n2, cin, cout, v1, vrow, precision, b, groups=1):
     def body(
         x_hbm, kr_ref, ki_ref,
         f1r, f1i, f2r, f2i, twr, twi, if1r, if1i, if2r, if2i,
         out_ref, x_vmem, dma_sem,
     ):
         # Fetch this cell's overlapped block straight from HBM: rows
-        # [i*vrow, i*vrow + n1) of the (B, Cin, rows, N2) view. Blocks
-        # overlap by (n1 - vrow) rows — inexpressible with BlockSpec index
-        # maps (block-granular), and a gather in the XLA wrapper costs 2.5x
-        # the whole kernel (measured 0.43 ms vs 0.17 ms) — so manual DMA.
-        b = pl.program_id(0)
-        i = pl.program_id(1)
+        # [i*vrow, i*vrow + n1) of the (B, Cin, rows, N2) view, ALL batches
+        # at once (batch is merged into every matmul's leading dims — at
+        # the small-K benchmark shapes per-cell overhead is a significant
+        # fraction of the ~10 us cells, so fewer, fatter cells win).
+        # Blocks overlap by (n1 - vrow) rows — inexpressible with
+        # BlockSpec index maps (block-granular), and a gather in the XLA
+        # wrapper costs 2.5x the whole kernel (measured) — so manual DMA.
+        i = pl.program_id(0)
         dma = pltpu.make_async_copy(
-            x_hbm.at[b, :, pl.ds(i * vrow, n1), :], x_vmem, dma_sem
+            x_hbm.at[:, :, pl.ds(i * vrow, n1), :], x_vmem, dma_sem
         )
         dma.start()
         dma.wait()
-        a = x_vmem[...]  # (Cin, N1, N2) real block
+        a = x_vmem[...]  # (B, Cin, N1, N2) real block
 
         # forward stage 1 (real input: 2 matmuls); contracting the rhs's
-        # N1 axis also converts the layout: (N1,N1) x (Cin,N1,N2) ->
-        # (N1, Cin, N2), which the remaining stages expect.
-        dn_s1 = (((1,), (1,)), ((), ()))
+        # N1 axis also converts the layout: (N1,N1) x (B,Cin,N1,N2) ->
+        # (N1, B, Cin, N2), which the remaining stages expect.
+        dn_s1 = (((1,), (2,)), ((), ()))
         br = _dot(f1r[...], a, dn_s1, precision)
         bi = _dot(f1i[...], a, dn_s1, precision)
-        # twiddle (broadcast over channel dim)
-        tr = twr[...][:, None, :]
-        ti = twi[...][:, None, :]
+        # twiddle (broadcast over batch + channel dims)
+        tr = twr[...][:, None, None, :]
+        ti = twi[...][:, None, None, :]
         cr = br * tr - bi * ti
         ci = br * ti + bi * tr
         # forward stage 2
@@ -213,31 +224,33 @@ def _make_kernel(n1, n2, cin, cout, v1, vrow, precision, groups=1):
         yi_parts = []
         for o in range(cout):
             go = o // opg
-            dr_g = dr[:, go * cpg:(go + 1) * cpg, :]
-            di_g = di[:, go * cpg:(go + 1) * cpg, :]
-            kr_o = kr_ref[o]  # (N1, Cin/groups, N2)
-            ki_o = ki_ref[o]
+            dr_g = dr[:, :, go * cpg:(go + 1) * cpg, :]
+            di_g = di[:, :, go * cpg:(go + 1) * cpg, :]
+            kr_o = kr_ref[o][:, None, :, :]  # (N1, 1, Cin/groups, N2)
+            ki_o = ki_ref[o][:, None, :, :]
             yr_parts.append(
-                jnp.sum(dr_g * kr_o - di_g * ki_o, axis=1, keepdims=True)
+                jnp.sum(dr_g * kr_o - di_g * ki_o, axis=2, keepdims=True)
             )
             yi_parts.append(
-                jnp.sum(dr_g * ki_o + di_g * kr_o, axis=1, keepdims=True)
+                jnp.sum(dr_g * ki_o + di_g * kr_o, axis=2, keepdims=True)
             )
-        yr = jnp.concatenate(yr_parts, axis=1)  # (N1, Cout, N2)
-        yi = jnp.concatenate(yi_parts, axis=1)
+        yr = jnp.concatenate(yr_parts, axis=2)  # (N1, B, Cout, N2)
+        yi = jnp.concatenate(yi_parts, axis=2)
 
         # inverse stage 1 (contract k2)
         er, ei = _mm_right(yr, yi, if2r[...], if2i[...], precision)
         # conjugate twiddle
         gr = er * tr + ei * ti
         gi = ei * tr - er * ti
-        # inverse stage 2, real part only (2 matmuls)
+        # inverse stage 2, real part only (2 matmuls; contracts the
+        # leading dim — legal single-matmul lowering because the minor
+        # dims collapse to whole 128-lane tiles)
         dn = (((1,), (0,)), ((), ()))
         out_real = (
             _dot(if1r[...], gr, dn, precision)
             - _dot(if1i[...], gi, dn, precision)
-        )  # (N1, Cout, N2)
-        out_ref[0, 0] = out_real[:v1]
+        )  # (N1, B, Cout, N2)
+        out_ref[0] = out_real[:v1]
 
     return body
 
@@ -252,34 +265,36 @@ def _fused_call(b, nblk, n1, n2, cin, cout, v1, vrow, precision, interpret,
     cpg = cin // groups
     mat_spec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     grid_spec = pl.GridSpec(
-        grid=(b, nblk),
+        grid=(nblk,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # x: whole array in HBM
             pl.BlockSpec(
-                (cout, n1, cpg, n2), lambda i, j: (0, 0, 0, 0),
+                (cout, n1, cpg, n2), lambda j: (0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (cout, n1, cpg, n2), lambda i, j: (0, 0, 0, 0),
+                (cout, n1, cpg, n2), lambda j: (0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ] + [mat_spec() for _ in range(10)],
         out_specs=pl.BlockSpec(
-            (1, 1, v1, cout, n2), lambda i, j: (i, j, 0, 0, 0),
+            (1, v1, b, cout, n2), lambda j: (j, 0, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((cin, n1, n2), jnp.float32),
+            pltpu.VMEM((b, cin, n1, n2), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    flops_cell = 2 * n * (2 * n1 + 4 * n2 + 4 * n2 + 2 * n1) * (cin + cout) // 2
+    flops_cell = (
+        2 * n * (2 * n1 + 4 * n2 + 4 * n2 + 2 * n1) * (cin + cout) // 2 * b
+    )
     return pl.pallas_call(
-        _make_kernel(n1, n2, cin, cout, v1, vrow, precision, groups),
+        _make_kernel(n1, n2, cin, cout, v1, vrow, precision, b, groups),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, nblk, v1, cout, n2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nblk, v1, b, cout, n2), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=flops_cell * b * nblk,
+            flops=flops_cell * nblk,
             bytes_accessed=(b * nblk * n * cin + b * nblk * v1 * n2 * cout) * 4,
             transcendentals=0,
         ),
@@ -330,8 +345,8 @@ def _fused_forward(x_padded, kernel, n, groups=1, spectra=None):
         _PRECISION_MODE, _is_cpu(), groups,
     )
     out = call(x4.astype(jnp.float32), kr, ki, *consts)
-    # (B, nblk, V1, Cout, N2) -> (B, Cout, nblk*V) -> crop
-    out = out.transpose(0, 3, 1, 2, 4).reshape(b, cout, nblk * v)
+    # (nblk, V1, B, Cout, N2) -> (B, Cout, nblk*V) -> crop
+    out = out.transpose(2, 3, 0, 1, 4).reshape(b, cout, nblk * v)
     return lax.slice_in_dim(out, 0, v_total, axis=2)
 
 

@@ -74,8 +74,12 @@ def test_split_factors():
 
 
 def test_choose_fft_size_policy():
+    # cost model (N1 + c) * N/V: small K prefers small N (cheap stage 1,
+    # low redundancy either way); large K needs large N (v5e-measured:
+    # K=3840 at N=4096 is 7x slower than at N=8192)
     assert choose_fft_size(3840, 32768, 8, 8) == 8192
-    assert choose_fft_size(128, 2**20, 3, 2) == 8192  # capped (see _FFT_SIZES)
+    assert choose_fft_size(1024, 32768, 8, 8) == 4096
+    assert choose_fft_size(256, 32768, 8, 8) == 2048
     # huge channel counts exceed the VMEM spectra budget -> no fused config
     assert choose_fft_size(128, 2**20, 128, 128) is None
 
