@@ -426,18 +426,18 @@ def fft_conv_transpose(
         raise ValueError(f"unknown impl: {impl!r}")
     if impl in ("auto", "fused"):
         eligible = (
-            n == 1
-            and stride_ == (1,)
-            and dilation_ == (1,)
+            n in (1, 2)
+            and stride_ == (1,) * n
+            and dilation_ == (1,) * n
             and groups == 1
-            and output_padding_ == (0,)
+            and output_padding_ == (0,) * n
         )
         if impl == "fused" and not eligible:
             raise ValueError(
-                "impl='fused' requires 1D, stride=1, dilation=1, groups=1, "
-                "output_padding=0"
+                "impl='fused' requires 1D/2D, stride=1, dilation=1, "
+                "groups=1, output_padding=0"
             )
-        if eligible and (impl == "fused" or _on_tpu()):
+        if eligible and n == 1 and (impl == "fused" or _on_tpu()):
             from ..kernels.fused1d import (
                 choose_fft_size,
                 fft_conv_transpose1d_fused,
@@ -453,6 +453,19 @@ def fft_conv_transpose(
                 )
             if impl == "fused":
                 raise ValueError("no fused FFT configuration fits this shape")
+        if eligible and n == 2 and (impl == "fused" or _on_tpu()):
+            from ..kernels.fused2d import (
+                fft_conv_transpose2d_fused,
+                tile_plan_2d,
+            )
+
+            k1, k2 = kernel.shape[2:]
+            if tile_plan_2d(k1, k2, signal.shape[1], kernel.shape[1]) is not None:
+                return fft_conv_transpose2d_fused(
+                    signal, kernel, bias, padding=padding_
+                )
+            if impl == "fused":
+                raise ValueError("no fused 2D FFT configuration fits this shape")
 
     use_tiled = impl == "tiled" or (
         impl == "auto" and _on_tpu() and _tiling_wins_transpose(
