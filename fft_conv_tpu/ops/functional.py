@@ -341,7 +341,7 @@ def _fft_conv(
         )
 
     if use_tiled:
-        from .tiled import plan_tiles, tiled_valid_corr
+        from .tiled import plan_tiles, tiled_valid_corr, untiled_shape
 
         # degenerate plan (every axis untiled) means overlap-save buys
         # nothing: a single whole-axis dense DFT matmul would be strictly
@@ -351,8 +351,9 @@ def _fft_conv(
             signal.shape[2:], kernel.shape[2:], tuple(valid),
             (signal.shape[0], signal.shape[1], kernel.shape[0]),
         )
-        whole = tuple((s + 1) // 2 * 2 for s in signal.shape[2:])
-        use_tiled = tile != whole
+        use_tiled = tile != untiled_shape(
+            signal.shape[2:], kernel.shape[2:], tuple(valid)
+        )
 
     if use_tiled:
         from .tiled import tiled_valid_corr
@@ -542,7 +543,7 @@ def _fft_conv_transpose(
     )
 
     if use_tiled:
-        from .tiled import plan_tiles
+        from .tiled import plan_tiles, untiled_shape
 
         # degenerate plan (every axis untiled) — whole-axis dense DFTs are
         # strictly worse than the FFT path below; fall through (see _fft_conv)
@@ -551,8 +552,9 @@ def _fft_conv_transpose(
             signal_.shape[2:], kernel.shape[2:], out_full,
             (signal_.shape[0], signal_.shape[1], kernel.shape[0]),
         )
-        whole = tuple((s + 1) // 2 * 2 for s in signal_.shape[2:])
-        use_tiled = tile != whole
+        use_tiled = tile != untiled_shape(
+            signal_.shape[2:], kernel.shape[2:], out_full
+        )
 
     if use_tiled:
         from .tiled import tiled_valid_corr

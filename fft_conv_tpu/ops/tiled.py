@@ -61,6 +61,20 @@ def _axis_cost(t: int) -> float:
     return float(max(t, 128))
 
 
+def untiled_shape(
+    spatial: Tuple[int, ...],
+    kernel: Tuple[int, ...],
+    out_len: Tuple[int, ...],
+) -> Tuple[int, ...]:
+    """Per-axis length of the single transform covering all of out_len
+    (even-rounded) — the planner's untiled candidate AND the composed
+    path's FFT shape for the same problem."""
+    return tuple(
+        (s + max(0, o - (s - k + 1)) + 1) // 2 * 2
+        for s, k, o in zip(spatial, kernel, out_len)
+    )
+
+
 @lru_cache(maxsize=None)
 def plan_tiles(
     spatial: Tuple[int, ...],
@@ -81,7 +95,15 @@ def plan_tiles(
     b, cin, cout = channels
     n = len(spatial)
 
-    whole = tuple((s + 1) // 2 * 2 for s in spatial)
+    # The untiled candidate must cover ALL requested outputs in one
+    # transform: when out_len exceeds the natural valid size s-k+1 (the
+    # transposed-conv zero-extension case) the single transform is longer
+    # — s + (out - (s-k+1)) — exactly the composed path's FFT length.
+    # Modeling it as the bare signal size made plan_cost tile the "whole"
+    # candidate 2x per axis and inflated its cost ~3x, which routed 3D
+    # transposed convs into a 32^3 tiling measured 10x SLOWER than
+    # composed (19.9 ms vs 2.1 ms at 64^3 K=4, v5e 2026-08-17).
+    whole = untiled_shape(spatial, kernel, out_len)
 
     def plan_cost(ts: Sequence[int]) -> float:
         nt = []
