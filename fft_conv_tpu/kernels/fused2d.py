@@ -62,14 +62,28 @@ def set_fused2d_precision(mode: str) -> None:
     if mode != _PRECISION_2D:
         _PRECISION_2D = mode
         _fused2d_call.cache_clear()
-# valid output rows per tile (H); T1 = K1-1+V1 rounded up to a multiple of 8
-_V1 = 128
 _T2_CANDIDATES = (128, 256)
+# benchmarking hook: force the H FFT length (None = heuristic)
+_T1_OVERRIDE = None
 
 
 def tile_plan_2d(k1: int, k2: int, cin_g: int, cout: int):
-    """(T1, NB1, T2, V2) or None when no fused configuration fits."""
-    t1 = -(-(_V1 + k1 - 1) // 8) * 8
+    """(T1, V1, NB1, T2, V2) or None when no fused configuration fits.
+
+    T1 (the H FFT length) is a whole number of 128-lane MXU contractions
+    when the kernel allows it: the H-forward dots contract T1, and
+    T1=144 runs TWO K-passes (the second 7/8 empty) where T1=128 runs
+    one. V1 = T1-K1+1 rounded down to a multiple of 8 (DMA row offsets
+    i*V1 must stay 8-aligned)."""
+    if _T1_OVERRIDE is not None:
+        t1 = _T1_OVERRIDE
+    elif k1 <= 65:
+        t1 = 128
+    else:
+        t1 = -(-(128 + k1 - 1) // 128) * 128
+    if t1 < k1 + 8:
+        return None
+    v1 = (t1 - k1 + 1) // 8 * 8
     nb1 = t1 // 2 + 1
     for t2 in _T2_CANDIDATES:
         v2 = t2 - k2 + 1
@@ -77,7 +91,7 @@ def tile_plan_2d(k1: int, k2: int, cin_g: int, cout: int):
             continue
         if cout * nb1 * cin_g * t2 * 8 > _KER_VMEM_BUDGET:
             return None  # larger T2 only costs more
-        return t1, nb1, t2, v2
+        return t1, v1, nb1, t2, v2
     return None
 
 
@@ -104,7 +118,7 @@ def _kernel_spectra_2d(kernel: jax.Array, t1: int, nb1: int, t2: int):
     grid, laid out (Cout, Cin/g, NB1, T2) split re/im — computed in XLA
     (cheap: matrices row-sliced to K taps)."""
     cout, cpg, k1, k2 = kernel.shape
-    fr, fi, wr, wi = (jnp.asarray(m) for m in _mats_2d(t1, nb1, t2, _V1)[:4])
+    fr, fi, wr, wi = (jnp.asarray(m) for m in _mats_2d(t1, nb1, t2, 1)[:4])
     fr = fr[:, :k1]
     fi = fi[:, :k1]
     wr_s = wr[:k2]
@@ -281,8 +295,7 @@ def _fused2d_forward(x_padded, kernel, out_hw, groups=1):
     plan = tile_plan_2d(k1, k2, cpg, cout)
     if plan is None:
         raise ValueError("no fused 2D configuration fits this shape")
-    t1, nb1, t2, v2 = plan
-    v1 = _V1
+    t1, v1, nb1, t2, v2 = plan
     oh, ow = out_hw
     nt1 = -(-oh // v1)
     nt2 = -(-ow // v2)

@@ -126,10 +126,15 @@ def test_fused2d_grouped_gradients():
 def test_tile_plan_properties():
     plan = tile_plan_2d(16, 16, 8, 8)
     assert plan is not None
-    t1, nb1, t2, v2 = plan
-    assert t1 % 8 == 0 and t1 >= 128 + 15
+    t1, v1, nb1, t2, v2 = plan
+    # K1 <= 65: one full 128-wide MXU contraction; V1 8-aligned
+    assert t1 == 128 and v1 == 112
     assert nb1 == t1 // 2 + 1
     assert t2 in (128, 256) and v2 == t2 - 15
+    # big K1: T1 rounds up in whole 128-contractions (small channels so
+    # the NB1-scaled spectra budget is not the binding constraint)
+    t1b, v1b, _, _, _ = tile_plan_2d(100, 16, 2, 2)
+    assert t1b == 256 and v1b == (t1b - 100 + 1) // 8 * 8
     # spectra budget exceeded -> no plan
     assert tile_plan_2d(3, 3, 256, 256) is None
 
