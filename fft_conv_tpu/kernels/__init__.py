@@ -9,6 +9,7 @@ from .fused1d import (
 from .fused2d import (
     fft_conv2d_fused,
     fft_conv_transpose2d_fused,
+    plan_fft_conv2d,
     set_fused2d_precision,
     tile_plan_2d,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "plan_3d",
     "set_fused2d_precision",
     "plan_fft_conv1d",
+    "plan_fft_conv2d",
     "set_fused_precision",
     "choose_fft_size",
     "four_step_fft",

@@ -289,7 +289,7 @@ def _fused2d_core(x_padded, kernel, out_hw: Tuple[int, int], groups: int = 1):
     return _fused2d_forward(x_padded, kernel, out_hw, groups)
 
 
-def _fused2d_forward(x_padded, kernel, out_hw, groups=1):
+def _fused2d_forward(x_padded, kernel, out_hw, groups=1, spectra=None):
     b, cin, hp, wp = x_padded.shape
     cout, cpg, k1, k2 = kernel.shape
     plan = tile_plan_2d(k1, k2, cpg, cout)
@@ -312,7 +312,11 @@ def _fused2d_forward(x_padded, kernel, out_hw, groups=1):
     x = _window_axis(x, 3, t2, v2, nt2)  # (B, Cin, Hpad, nt2, T2)
     x = x.transpose(0, 1, 3, 2, 4)
 
-    kr, ki = _kernel_spectra_2d(kernel.astype(jnp.float32), t1, nb1, t2)
+    kr, ki = (
+        spectra
+        if spectra is not None
+        else _kernel_spectra_2d(kernel.astype(jnp.float32), t1, nb1, t2)
+    )
     mats = [jnp.asarray(m) for m in _mats_2d(t1, nb1, t2, v1)]
 
     call = _fused2d_call(
@@ -405,6 +409,74 @@ def fft_conv2d_fused(
     if bias is not None:
         out = out + bias.reshape(1, -1, 1, 1)
     return out.astype(signal.dtype)
+
+
+def plan_fft_conv2d(
+    kernel: jax.Array,
+    bias: Optional[jax.Array] = None,
+    padding=0,
+    padding_mode: str = "constant",
+    *,
+    signal_hw,
+):
+    """Serving-mode plan: the kernel's per-tile 2D spectra are computed
+    ONCE and the returned jitted callable only transforms the signal
+    (measured ~2% at 512^2 K=16 where the spectra are cheap; the saving
+    scales with K^2 x channels). Fused surface only: groups=1, stride=1,
+    dilation=1; caller gates on ``tile_plan_2d``."""
+    if kernel.ndim != 4:
+        raise ValueError("plan_fft_conv2d expects (Cout, Cin, K1, K2)")
+    padding_ = to_ntuple(padding, 2)
+    h, w = signal_hw
+    cout, cin, k1, k2 = kernel.shape
+    plan = tile_plan_2d(k1, k2, cin, cout)
+    if plan is None:
+        raise ValueError("no fused 2D configuration fits this shape")
+    t1, v1, nb1, t2, v2 = plan
+    hp = h + 2 * padding_[0]
+    wp = w + 2 * padding_[1]
+    if k1 > hp or k2 > wp:
+        raise ValueError("Kernel size can't be greater than actual input size")
+    out_hw = (hp - k1 + 1, wp - k2 + 1)
+
+    kernel = kernel.astype(jnp.float32)
+    kr, ki = _kernel_spectra_2d(kernel, t1, nb1, t2)
+    kr = jax.device_put(kr)
+    ki = jax.device_put(ki)
+
+    @jax.jit
+    def planned(signal):
+        if signal.shape[2:] != (h, w):
+            raise ValueError(
+                f"plan serves spatial shape {(h, w)}, got {signal.shape[2:]}"
+            )
+        x = F._pad_signal(signal, padding_, padding_mode)
+        out = _fused2d_core_planned(
+            x.astype(jnp.float32), kernel, kr, ki, out_hw
+        )
+        if bias is not None:
+            out = out + bias.reshape(1, -1, 1, 1)
+        return out.astype(signal.dtype)
+
+    return planned
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _fused2d_core_planned(x_padded, kernel, kr, ki, out_hw):
+    return _fused2d_forward(x_padded, kernel, out_hw, 1, spectra=(kr, ki))
+
+
+def _fused2d_planned_fwd(x_padded, kernel, kr, ki, out_hw):
+    out = _fused2d_forward(x_padded, kernel, out_hw, 1, spectra=(kr, ki))
+    return out, (x_padded, kernel)
+
+
+def _fused2d_planned_bwd(out_hw, residuals, g):
+    dx, dw = _fused2d_bwd(out_hw, 1, residuals, g)
+    return dx, dw, None, None
+
+
+_fused2d_core_planned.defvjp(_fused2d_planned_fwd, _fused2d_planned_bwd)
 
 
 def fft_conv_transpose2d_fused(

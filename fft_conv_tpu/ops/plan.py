@@ -71,6 +71,24 @@ def plan_fft_conv(
                 signal_length=signal_spatial[0],
             )
 
+    # 2D fused fast path (tile kernel with baked per-tile spectra)
+    if (
+        n == 2
+        and stride_ == (1, 1)
+        and dilation_ == (1, 1)
+        and groups == 1
+        and jax.devices()[0].platform == "tpu"
+    ):
+        from ..kernels.fused2d import plan_fft_conv2d, tile_plan_2d
+
+        if tile_plan_2d(
+            kernel.shape[2], kernel.shape[3], kernel.shape[1], kernel.shape[0]
+        ) is not None:
+            return plan_fft_conv2d(
+                kernel, bias, padding=padding_, padding_mode=padding_mode,
+                signal_hw=signal_spatial,
+            )
+
     kernel = F._dilate_kernel(kernel.astype(jnp.float32), dilation_)
     padded_spatial = tuple(
         s + 2 * p for s, p in zip(signal_spatial, padding_)

@@ -8,6 +8,7 @@ import torch
 import torch.nn.functional as F
 
 import fft_conv_tpu.ops.spectral as spectral
+from fft_conv_tpu import fft_conv
 from fft_conv_tpu.ops import plan_fft_conv
 
 from helpers import _assert_almost_equal
@@ -69,3 +70,30 @@ def test_plan_validates():
 def test_plan_kernel_too_large_spectral(force_matmul_dft):
     with pytest.raises(ValueError):
         plan_fft_conv(jnp.ones((1, 1, 9, 9)), signal_spatial=(4, 4))
+
+
+def test_plan_fft_conv2d_fused_matches():
+    """Baked-spectra 2D fused plan (interpret on CPU) matches fft_conv."""
+    from fft_conv_tpu.kernels.fused2d import plan_fft_conv2d
+
+    rng = np.random.default_rng(20)
+    sig = jnp.asarray(rng.standard_normal((1, 2, 150, 160)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 2, 9, 11)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((3,)).astype(np.float32))
+    fn = plan_fft_conv2d(w, b, padding=(4, 5), signal_hw=(150, 160))
+    y = fn(sig)
+    y_ref = fft_conv(sig, w, b, padding=(4, 5), impl="xla")
+    assert y.shape == y_ref.shape
+    err = np.abs(np.asarray(y) - np.asarray(y_ref))
+    scale = max(1.0, float(np.asarray(y_ref).std()))
+    assert err.mean() < 5e-5 * scale and err.max() < 2e-4 * scale
+    # gradient w.r.t. the signal flows through the planned core
+    g = jax.grad(lambda s: fn(s).sum())(sig)
+    g_ref = jax.grad(lambda s: fft_conv(s, w, b, padding=(4, 5), impl="xla").sum())(sig)
+    gerr = np.abs(np.asarray(g) - np.asarray(g_ref))
+    gscale = max(1.0, float(np.asarray(g_ref).std()))
+    assert gerr.max() < 2e-4 * gscale
+    # wrong spatial shape rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        fn(jnp.zeros((1, 2, 64, 64)))
