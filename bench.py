@@ -132,8 +132,11 @@ def main():
                         # path exists — timing it too would double the
                         # compile bill (~30 s/config through the tunnel)
                         continue
-                else:
+                elif ref_out is not None:
                     _assert_parity(name, ref_out, out, config_name)
+                else:
+                    print(f"# no composed reference for {config_name}; "
+                          f"parity gate skipped for {name}", file=sys.stderr)
                 # best-of-2 full measurements: single-run row noise through
                 # the tunnel is ~±15%, enough to flip borderline rows
                 t = min(
@@ -149,6 +152,16 @@ def main():
                 continue
             if t_fft is None or t < t_fft:
                 t_fft, best = t, name
+
+        if t_fft is None:
+            # every fast path failed (e.g. fused compile error after the
+            # composed reference was skipped from timing) — time composed
+            # as the last resort so one bad path can't sink the benchmark
+            t_fft = benchmark_fori(
+                paths["composed"], sig, ker, bias, num_iterations=iters,
+                min_work_s=0.05,
+            ).mean
+            best = "composed"
 
         direct_fn = direct_conv_fn(ndim)
         t_direct = min(

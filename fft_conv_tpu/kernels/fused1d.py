@@ -63,7 +63,16 @@ def fused_split(n: int) -> Tuple[int, int]:
     return n // 128, 128
 
 
-def choose_fft_size(k: int, l_padded: int, cin: int, cout: int) -> Optional[int]:
+# per-cell live-VMEM budget for the batch-merged kernel (scratch block +
+# the handful of (N1, B, C, N2) f32 intermediates alive at once); kept
+# well under the 64 MiB compiler limit so routing failures become
+# composed-path fallbacks instead of Mosaic allocation errors
+_CELL_VMEM_BUDGET = 40 * 2**20
+
+
+def choose_fft_size(
+    k: int, l_padded: int, cin: int, cout: int, batch: int = 1
+) -> Optional[int]:
     """Candidate N minimizing modeled per-output cost, spectra in budget.
 
     Cost per valid output sample ~ (N1 + c) * N/V: stage-1 contraction
@@ -72,11 +81,20 @@ def choose_fft_size(k: int, l_padded: int, cin: int, cout: int) -> Optional[int]
     model reproduces the v5e sweep (2026-08-17): K=256 -> 2048,
     K=1024 -> 4096, K=3840 -> 8192.
 
+    ``batch`` bounds the batch-merged cell's live VMEM (the grid folds
+    the whole batch into each cell, so scratch and intermediates scale
+    with B); callers must pass it so over-large batches fall back to the
+    composed path instead of failing to compile.
+
     Returns None when no candidate works (caller falls back to the
     composed path)."""
     best, best_cost = None, None
     for n in _FFT_SIZES:
         if cout * cin * n * 8 > _KER_VMEM_BUDGET:
+            break
+        # cell scratch (B, Cin, N1, N2) + ~4 live complex intermediates of
+        # (N1, B, Cin|Cout, N2) f32
+        if 4 * n * batch * 4 * (cin + cout) > _CELL_VMEM_BUDGET:
             break
         n1, n2 = fused_split(n)
         v = ((n - k + 1) // n2) * n2 if n >= k else 0
@@ -420,7 +438,7 @@ def fft_conv1d_fused(
     if k > l_pad:
         raise ValueError("Kernel size can't be greater than actual input size")
 
-    n = choose_fft_size(k, l_pad, cin_k, cout)
+    n = choose_fft_size(k, l_pad, cin_k, cout, batch=b)
     if n is None:
         out = F.fft_conv(signal, kernel, None, padding=padding_,
                          groups=groups, padding_mode=padding_mode, impl="xla")

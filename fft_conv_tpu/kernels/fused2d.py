@@ -15,11 +15,13 @@ the 512-point transforms of the composed path at the benchmark sizes
 pipeline eliminates every HBM spectra round trip on top. All matmul minor
 dims are exactly T2 in {128, 256} lanes — no layout padding anywhere.
 
-Tile geometry: V1 = 128 valid output rows per tile (H windows overlap by
-K1-1, FFT length T1 = 8-aligned K1-1+128, one-sided: NB1 = T1//2+1 bins);
-W uses the smallest T2 in {128, 256} whose valid width V2 = T2-K2+1 keeps
-the overlap redundancy sane. Kernel spectra (Cout, Cin/g, NB1, T2) stay
-VMEM-resident across all grid cells (budget-checked for eligibility).
+Tile geometry: the H FFT length T1 is a whole number of 128-lane MXU
+contractions (128 for K1 <= 65), V1 = T1-K1+1 rounded down to 8 (H
+windows overlap by K1-1; one-sided: NB1 = T1//2+1 bins); W uses the
+smallest T2 in {128, 256} whose valid width V2 = T2-K2+1 keeps the
+overlap redundancy sane. Kernel spectra (Cout, Cin/g, NB1, T2) stay
+VMEM-resident across all grid cells; eligibility (``fused2d_fits``)
+budgets both the resident spectra and the width-scaled per-cell VMEM.
 
 Stride/dilation/groups/padding modes are wrapper transformations around the
 unit-stride kernel, exactly as in fused1d.py. Gradients via jax.custom_vjp
@@ -65,6 +67,32 @@ def set_fused2d_precision(mode: str) -> None:
 _T2_CANDIDATES = (128, 256)
 # benchmarking hook: force the H FFT length (None = heuristic)
 _T1_OVERRIDE = None
+# per-cell live-VMEM budget: the x scratch (Cin, nt2, T1, T2) and out
+# block (V1, Cout, nt2, T2) both scale with image WIDTH via nt2; gate so
+# wide images fall back to the composed path instead of failing to
+# compile (vmem_limit is 110 MiB)
+_CELL2D_VMEM_BUDGET = 72 * 2**20
+
+
+def fused2d_fits(
+    k1: int, k2: int, cin_g: int, cout: int, padded_hw, cin_total=None
+) -> bool:
+    """True when the fused 2D kernel both has a tile plan AND its per-cell
+    VMEM (which scales with image width) fits. The routing gate for
+    impl="auto" — must be checked with the PADDED spatial shape.
+    ``cin_total`` is the full channel count (the x scratch holds every
+    group); defaults to ``cin_g``."""
+    plan = tile_plan_2d(k1, k2, cin_g, cout)
+    if plan is None:
+        return False
+    t1, v1, nb1, t2, v2 = plan
+    hp, wp = padded_hw
+    if k1 > hp or k2 > wp:
+        return False
+    ow = wp - k2 + 1
+    nt2 = -(-ow // v2)
+    cin = cin_total if cin_total is not None else cin_g
+    return (cin * t1 + cout * v1) * nt2 * t2 * 4 <= _CELL2D_VMEM_BUDGET
 
 
 def tile_plan_2d(k1: int, k2: int, cin_g: int, cout: int):
@@ -396,7 +424,7 @@ def fft_conv2d_fused(
         raise ValueError("Kernel size can't be greater than actual input size")
 
     oh, ow = hp - k1 + 1, wp - k2 + 1
-    if tile_plan_2d(k1, k2, cpg, cout) is None:
+    if not fused2d_fits(k1, k2, cpg, cout, (hp, wp), cin_total=cin):
         out = F.fft_conv(signal, kernel, None, padding=padding_,
                          groups=groups, padding_mode=padding_mode, impl="xla")
     else:

@@ -199,10 +199,13 @@ def fft_conv(
       signal: (B, Cin, *spatial); kernel: (Cout, Cin/groups, *k);
       bias: (Cout,) or None.
 
-    ``impl``: "auto" (fused Pallas kernel on TPU when the config qualifies:
-    1D, unit stride/dilation/groups; composed XLA otherwise), "xla"
-    (always composed), "fused" (require the Pallas path; ValueError if the
-    config doesn't qualify).
+    ``impl``: "auto" (on TPU, routes to the fused Pallas kernels — 1D and
+    2D, any stride/dilation/groups/padding mode with a fitting plan — or
+    the tiled overlap-save path where its cost model wins; composed XLA
+    otherwise), "xla" (always composed), "fused" (require the Pallas
+    path; ValueError if the config doesn't qualify), "tiled" (force
+    overlap-save tiling; falls back to composed when the plan is
+    degenerate).
 
     Reference semantics: functional.py:19-89, step-for-step:
     normalize args -> dilate kernel -> pad signal -> even-rounded circular
@@ -244,7 +247,8 @@ def fft_conv(
             l_pad = signal.shape[-1] + 2 * padding_[0]
             k_dil = dilated_size(kernel.shape[-1], dilation_[0])
             if choose_fft_size(
-                k_dil, l_pad, signal.shape[1] // groups, kernel.shape[0]
+                k_dil, l_pad, signal.shape[1] // groups, kernel.shape[0],
+                batch=signal.shape[0],
             ) is not None:
                 return fft_conv1d_fused(
                     signal, kernel, bias, padding=padding_[0],
@@ -257,7 +261,7 @@ def fft_conv(
                     "spectra exceed the VMEM budget or signal too small)"
                 )
         if eligible and n == 2 and (impl == "fused" or _on_tpu()):
-            from ..kernels.fused2d import fft_conv2d_fused, tile_plan_2d
+            from ..kernels.fused2d import fft_conv2d_fused, fused2d_fits
 
             k_dil = [
                 dilated_size(k, d)
@@ -266,12 +270,9 @@ def fft_conv(
             padded = [
                 s + 2 * p for s, p in zip(signal.shape[2:], padding_)
             ]
-            fits = (
-                tile_plan_2d(
-                    k_dil[0], k_dil[1], signal.shape[1] // groups,
-                    kernel.shape[0],
-                ) is not None
-                and all(k <= s for k, s in zip(k_dil, padded))
+            fits = fused2d_fits(
+                k_dil[0], k_dil[1], signal.shape[1] // groups,
+                kernel.shape[0], tuple(padded), cin_total=signal.shape[1],
             )
             if fits:
                 return fft_conv2d_fused(
@@ -341,7 +342,7 @@ def _fft_conv(
         )
 
     if use_tiled:
-        from .tiled import plan_tiles, tiled_valid_corr, untiled_shape
+        from .tiled import plan_tiles, untiled_shape
 
         # degenerate plan (every axis untiled) means overlap-save buys
         # nothing: a single whole-axis dense DFT matmul would be strictly
@@ -399,8 +400,9 @@ def fft_conv_transpose(
       signal: (B, Cin, *spatial); kernel: (Cin, Cout/groups, *k)
       (transposed-conv weight convention); bias: (Cout,) or None.
 
-    ``impl``: "auto" / "xla" / "fused" as in ``fft_conv`` (the fused path
-    qualifies at 1D, unit stride/dilation/groups, zero output_padding).
+    ``impl``: "auto" / "xla" / "fused" / "tiled" as in ``fft_conv`` (the
+    fused path qualifies at 1D/2D, unit stride/dilation/groups, zero
+    output_padding).
 
     Reference semantics: functional.py:92-176. Kernel flip + group transpose
     turns transposed conv into a regular FFT correlation; signal interior
@@ -447,7 +449,8 @@ def fft_conv_transpose(
             k = kernel.shape[-1]
             l_full = signal.shape[-1] + 2 * (k - 1)
             if choose_fft_size(
-                k, l_full, signal.shape[1], kernel.shape[1]
+                k, l_full, signal.shape[1], kernel.shape[1],
+                batch=signal.shape[0],
             ) is not None:
                 return fft_conv_transpose1d_fused(
                     signal, kernel, bias, padding=padding_[0]
@@ -457,11 +460,18 @@ def fft_conv_transpose(
         if eligible and n == 2 and (impl == "fused" or _on_tpu()):
             from ..kernels.fused2d import (
                 fft_conv_transpose2d_fused,
-                tile_plan_2d,
+                fused2d_fits,
             )
 
+            # the internal full correlation runs on the (K-1)-padded signal
             k1, k2 = kernel.shape[2:]
-            if tile_plan_2d(k1, k2, signal.shape[1], kernel.shape[1]) is not None:
+            full_hw = (
+                signal.shape[2] + 2 * (k1 - 1),
+                signal.shape[3] + 2 * (k2 - 1),
+            )
+            if fused2d_fits(
+                k1, k2, signal.shape[1], kernel.shape[1], full_hw
+            ):
                 return fft_conv_transpose2d_fused(
                     signal, kernel, bias, padding=padding_
                 )

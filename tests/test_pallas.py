@@ -28,15 +28,7 @@ from fft_conv_tpu.kernels.fused1d import (
     fused_split,
 )
 
-
-def _assert_close_scaled(y, y_ref):
-    y = np.asarray(y)
-    y_ref = np.asarray(y_ref)
-    assert y.shape == y_ref.shape
-    scale = max(1.0, float(np.std(y_ref)))
-    err = np.abs(y - y_ref)
-    assert err.mean() < 5e-5 * scale, f"mean {err.mean():.3e} scale {scale:.1f}"
-    assert err.max() < 2e-4 * scale, f"max {err.max():.3e} scale {scale:.1f}"
+from helpers import _assert_close_scaled
 
 
 # ---------------------------------------------------------------- four-step
@@ -331,3 +323,11 @@ def test_fused_validation_errors():
         fft_conv1d_fused(jnp.ones((1, 2, 100)), jnp.ones((2, 3, 5)))
     with pytest.raises(ValueError):
         fft_conv1d_fused(jnp.ones((1, 1, 16)), jnp.ones((1, 1, 64)))
+
+
+def test_choose_fft_size_batch_budget():
+    """Batch-merged cells scale VMEM with B: over-budget batches must get
+    no fused config (auto then falls back composed instead of a Mosaic
+    allocation failure)."""
+    assert choose_fft_size(256, 32768, 8, 8, batch=2) is not None
+    assert choose_fft_size(256, 32768, 8, 8, batch=4096) is None

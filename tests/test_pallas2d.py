@@ -14,15 +14,8 @@ from fft_conv_tpu.kernels.fused2d import (
     tile_plan_2d,
 )
 
+from helpers import _assert_close_scaled
 
-def _assert_close_scaled(y, y_ref):
-    y = np.asarray(y)
-    y_ref = np.asarray(y_ref)
-    assert y.shape == y_ref.shape
-    scale = max(1.0, float(np.std(y_ref)))
-    err = np.abs(y - y_ref)
-    assert err.mean() < 5e-5 * scale
-    assert err.max() < 2e-4 * scale
 
 
 CONFIGS = [
@@ -146,3 +139,13 @@ def test_fused2d_validation():
         fft_conv2d_fused(jnp.ones((1, 2, 100, 100)), jnp.ones((2, 3, 3, 3)))
     with pytest.raises(ValueError):  # kernel larger than input
         fft_conv2d_fused(jnp.ones((1, 1, 30, 300)), jnp.ones((1, 1, 130, 3)))
+
+
+def test_fused2d_fits_width_budget():
+    """Per-cell VMEM scales with image width (nt2): very wide images must
+    be rejected by the routing gate (composed fallback, not a compile
+    failure)."""
+    from fft_conv_tpu.kernels.fused2d import fused2d_fits
+
+    assert fused2d_fits(16, 16, 8, 8, (512, 512), cin_total=8)
+    assert not fused2d_fits(16, 16, 16, 8, (256, 65536), cin_total=16)

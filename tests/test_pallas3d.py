@@ -10,15 +10,8 @@ import torch.nn.functional as TF
 from fft_conv_tpu import fft_conv
 from fft_conv_tpu.kernels.fused3d import fft_conv3d_fused, plan_3d
 
+from helpers import _assert_close_scaled
 
-def _assert_close_scaled(y, y_ref):
-    y = np.asarray(y)
-    y_ref = np.asarray(y_ref)
-    assert y.shape == y_ref.shape
-    scale = max(1.0, float(np.std(y_ref)))
-    err = np.abs(y - y_ref)
-    assert err.mean() < 5e-5 * scale
-    assert err.max() < 2e-4 * scale
 
 
 CONFIGS = [

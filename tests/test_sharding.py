@@ -21,7 +21,7 @@ from fft_conv_tpu.parallel import (
     transpose_input_specs,
 )
 
-from helpers import _assert_almost_equal
+from helpers import _assert_almost_equal, _assert_close_scaled
 
 requires_8_devices = pytest.mark.skipif(
     len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
@@ -160,17 +160,6 @@ def test_transpose_shard_map_matches(groups):
     y = fft_conv_transpose_sharded(sig, w, b, stride=2, groups=groups, mesh=mesh)
     _assert_almost_equal(y, y_ref)
 
-
-def _assert_close_scaled(y, y_ref):
-    """Scale-aware tolerance for the fused (bf16x3) paths: the reference
-    5e-5/1e-4 bar is absolute at unit scale; these outputs have |out| ~ 10."""
-    y = np.asarray(y)
-    y_ref = np.asarray(y_ref)
-    assert y.shape == y_ref.shape
-    scale = max(1.0, float(np.std(y_ref)))
-    err = np.abs(y - y_ref)
-    assert err.mean() < 5e-5 * scale, f"mean {err.mean():.3e} scale {scale:.1f}"
-    assert err.max() < 2e-4 * scale, f"max {err.max():.3e} scale {scale:.1f}"
 
 
 @requires_8_devices
