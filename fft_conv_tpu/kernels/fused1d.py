@@ -70,6 +70,15 @@ def fused_split(n: int) -> Tuple[int, int]:
 _CELL_VMEM_BUDGET = 40 * 2**20
 
 
+def cell_fits(n: int, batch: int, cin: int, cout: int) -> bool:
+    """True when the batch-merged cell's live VMEM fits at FFT size ``n``:
+    scratch (B, Cin, N1, N2) + ~4 live complex (N1, B, Cin|Cout, N2) f32
+    intermediates. Used both at plan time and by planned callables to
+    re-check the *runtime* batch (a plan built with a small batch hint must
+    fall back to the composed path, not die in Mosaic)."""
+    return 4 * n * batch * 4 * (cin + cout) <= _CELL_VMEM_BUDGET
+
+
 def choose_fft_size(
     k: int, l_padded: int, cin: int, cout: int, batch: int = 1
 ) -> Optional[int]:
@@ -92,9 +101,7 @@ def choose_fft_size(
     for n in _FFT_SIZES:
         if cout * cin * n * 8 > _KER_VMEM_BUDGET:
             break
-        # cell scratch (B, Cin, N1, N2) + ~4 live complex intermediates of
-        # (N1, B, Cin|Cout, N2) f32
-        if 4 * n * batch * 4 * (cin + cout) > _CELL_VMEM_BUDGET:
+        if not cell_fits(n, batch, cin, cout):
             break
         n1, n2 = fused_split(n)
         v = ((n - k + 1) // n2) * n2 if n >= k else 0
@@ -133,7 +140,12 @@ _PRECISION_MODE = "bf16x3"
 
 
 def set_fused_precision(mode: str) -> None:
-    """Selects the fused kernel's matmul precision ("highest" | "bf16x3")."""
+    """Selects the fused 1D kernel's matmul precision ("highest" | "bf16x3").
+
+    Per-kernel switch: the 2D and 3D kernels have their own independent
+    switches (``fused2d.set_fused2d_precision``,
+    ``fused3d.set_fused3d_precision``) — setting this does NOT affect them.
+    """
     global _PRECISION_MODE
     if mode not in ("highest", "bf16x3"):
         raise ValueError(f"unknown fused precision mode: {mode!r}")
@@ -459,6 +471,7 @@ def plan_fft_conv1d(
     padding: int = 0,
     signal_length: Optional[int] = None,
     cache_spectrum: bool = True,
+    max_batch: int = 1,
 ):
     """Returns a jitted ``fn(signal) -> out`` with the kernel baked in.
 
@@ -466,6 +479,12 @@ def plan_fft_conv1d(
     inference serving where one kernel convolves many signals, the scrambled
     conjugated spectrum is computed ONCE here (when ``signal_length`` is
     given and a fused config fits) instead of per call.
+
+    ``max_batch`` sizes the FFT choice for the expected batch (the
+    batch-merged cell's VMEM scales with B); the planned callable also
+    re-checks the actual runtime batch per trace and falls back to the
+    composed path when it would bust the cell budget, so a plan built
+    small never fails Mosaic compilation on a large batch.
 
     Reference contrast: the reference re-plans cuFFT per call and clears the
     plan cache in its benchmark (generate_benchmark_plot.py:51); here the
@@ -475,7 +494,9 @@ def plan_fft_conv1d(
     kernel = kernel.astype(jnp.float32)
     n = None
     if signal_length is not None:
-        n = choose_fft_size(k, signal_length + 2 * padding, cin, cout)
+        n = choose_fft_size(
+            k, signal_length + 2 * padding, cin, cout, batch=max_batch
+        )
     if n is None or not cache_spectrum:
         return jax.jit(
             lambda signal: fft_conv1d_fused(signal, kernel, bias, padding=padding)
@@ -488,6 +509,11 @@ def plan_fft_conv1d(
 
     @jax.jit
     def planned(signal):
+        if not cell_fits(n, signal.shape[0], cin, cout):
+            # runtime batch busts the planned cell's VMEM budget
+            return F.fft_conv(
+                signal, kernel, bias, padding=(padding,), impl="xla"
+            ).astype(signal.dtype)
         x = F._pad_signal(signal, (padding,), "constant")
         out = _fused_core_planned(x.astype(jnp.float32), kernel, kr, ki, n)
         if bias is not None:

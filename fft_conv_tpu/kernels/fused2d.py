@@ -57,7 +57,10 @@ _PRECISION_2D = "bf16x3"
 
 
 def set_fused2d_precision(mode: str) -> None:
-    """Selects the 2D kernel's matmul precision ("highest" | "bf16x3")."""
+    """Selects the 2D kernel's matmul precision ("highest" | "bf16x3").
+
+    Independent of the 1D kernel's ``fused1d.set_fused_precision`` — each
+    fused kernel has its own switch (see CHANGELOG note in README)."""
     global _PRECISION_2D
     if mode not in ("highest", "bf16x3"):
         raise ValueError(f"unknown fused precision mode: {mode!r}")
@@ -183,9 +186,10 @@ def _make_kernel_2d(t1, nb1, t2, v1, v2, nt2, cin, cout, groups, precision):
         i = pl.program_id(1)
         # x is pre-windowed along W in XLA: (B, Cin, nt2, Hpad, T2). One cell
         # processes ALL nt2 W-tiles of an H-block.
-        # Only the H (sublane) axis is sliced — its offsets are 128-aligned;
-        # lane-axis DMA offsets would have to be 128-aligned too, which the
-        # overlapping V2 stride cannot satisfy (Mosaic rejects it).
+        # Only the H (sublane) axis is sliced — sublane offsets i*V1 need
+        # 8-alignment only (guaranteed: tile_plan_2d rounds V1 to a multiple
+        # of 8); lane-axis DMA offsets would have to be 128-aligned, which
+        # the overlapping V2 stride cannot satisfy (Mosaic rejects it).
         dma = pltpu.make_async_copy(
             x_hbm.at[b, :, :, pl.ds(i * v1, t1), :],
             x_vmem, dma_sem,
@@ -457,12 +461,18 @@ def plan_fft_conv2d(
     padding_ = to_ntuple(padding, 2)
     h, w = signal_hw
     cout, cin, k1, k2 = kernel.shape
-    plan = tile_plan_2d(k1, k2, cin, cout)
-    if plan is None:
-        raise ValueError("no fused 2D configuration fits this shape")
-    t1, v1, nb1, t2, v2 = plan
     hp = h + 2 * padding_[0]
     wp = w + 2 * padding_[1]
+    # full fused2d_fits gate, not just tile_plan_2d: the per-cell VMEM
+    # scales with image width (nt2), so a wide image must be rejected here
+    # rather than failing Mosaic compilation at call time
+    if not fused2d_fits(k1, k2, cin, cout, (hp, wp)):
+        raise ValueError(
+            "no fused 2D configuration fits this shape (tile plan or "
+            "per-cell VMEM budget)"
+        )
+    plan = tile_plan_2d(k1, k2, cin, cout)
+    t1, v1, nb1, t2, v2 = plan
     if k1 > hp or k2 > wp:
         raise ValueError("Kernel size can't be greater than actual input size")
     out_hw = (hp - k1 + 1, wp - k2 + 1)

@@ -60,6 +60,22 @@ _KER_VMEM_BUDGET = 24 * 2**20
 # whole-volume VMEM budget for the signal-side arrays
 _VOL_VMEM_BUDGET = 64 * 2**20
 
+# 3D kernel matmul precision (independent switch, like fused2d's)
+_PRECISION_3D = "bf16x3"
+
+
+def set_fused3d_precision(mode: str) -> None:
+    """Selects the 3D kernel's matmul precision ("highest" | "bf16x3").
+
+    Independent of the 1D/2D switches (``fused1d.set_fused_precision``,
+    ``fused2d.set_fused2d_precision``)."""
+    global _PRECISION_3D
+    if mode not in ("highest", "bf16x3"):
+        raise ValueError(f"unknown fused precision mode: {mode!r}")
+    if mode != _PRECISION_3D:
+        _PRECISION_3D = mode
+        _fused3d_call.cache_clear()
+
 
 # W-axis transform length: one full lane tile. Mosaic's rank-3 MIDDLE
 # contraction (the H stage) lowers via a pages->lanes collapse that is
@@ -320,7 +336,7 @@ def _fused3d_forward(x_padded, kernel, out_dhw):
 
     call = _fused3d_call(
         b, cin, cout, d_pad, h, w, kd, nbh, vdp, vh,
-        fused1d._PRECISION_MODE, _is_cpu(),
+        _PRECISION_3D, _is_cpu(),
     )
     out = call(x5d, kr, ki, *mats)      # (B, Cout, VH, VDP, W)
     out = out.transpose(0, 1, 3, 2, 4)  # -> (B, Cout, VDP, VH, W)

@@ -35,11 +35,15 @@ def plan_fft_conv(
     padding_mode: str = "constant",
     *,
     signal_spatial: Iterable[int],
+    max_batch: int = 1,
 ) -> "callable":
     """Returns a jitted ``fn(signal) -> out`` with the kernel baked in.
 
     ``signal_spatial`` fixes the spatial shape the plan serves (plans are
-    shape-specialized, like FFT plans everywhere). Batch size stays free.
+    shape-specialized, like FFT plans everywhere). Batch size stays free;
+    ``max_batch`` sizes the fused 1D plan's VMEM budget for the expected
+    batch (the planned callable still re-checks the runtime batch and
+    falls back to the composed path — see kernels.fused1d.plan_fft_conv1d).
     """
     n = kernel.ndim - 2
     stride_ = to_ntuple(stride, n)
@@ -64,11 +68,12 @@ def plan_fft_conv(
 
         l_pad = signal_spatial[0] + 2 * padding_[0]
         if choose_fft_size(
-            kernel.shape[-1], l_pad, kernel.shape[1], kernel.shape[0]
+            kernel.shape[-1], l_pad, kernel.shape[1], kernel.shape[0],
+            batch=max_batch,
         ) is not None:
             return plan_fft_conv1d(
                 kernel, bias, padding=padding_[0],
-                signal_length=signal_spatial[0],
+                signal_length=signal_spatial[0], max_batch=max_batch,
             )
 
     # 2D fused fast path (tile kernel with baked per-tile spectra)
@@ -79,11 +84,19 @@ def plan_fft_conv(
         and groups == 1
         and jax.devices()[0].platform == "tpu"
     ):
-        from ..kernels.fused2d import plan_fft_conv2d, tile_plan_2d
+        from ..kernels.fused2d import fused2d_fits, plan_fft_conv2d
 
-        if tile_plan_2d(
-            kernel.shape[2], kernel.shape[3], kernel.shape[1], kernel.shape[0]
-        ) is not None:
+        # gate on the full per-cell VMEM budget (scales with image width),
+        # not just the tile plan — a wide image must route composed here
+        # instead of failing Mosaic compilation at call time
+        padded_hw = (
+            signal_spatial[0] + 2 * padding_[0],
+            signal_spatial[1] + 2 * padding_[1],
+        )
+        if fused2d_fits(
+            kernel.shape[2], kernel.shape[3], kernel.shape[1],
+            kernel.shape[0], padded_hw,
+        ):
             return plan_fft_conv2d(
                 kernel, bias, padding=padding_, padding_mode=padding_mode,
                 signal_hw=signal_spatial,

@@ -125,6 +125,13 @@ def fft_conv_spatial_sharded(
         halo=k_last - 1,
         groups=groups,
     )
+    # check_vma=False: with vma checking on (jax 0.9 default), reverse-mode
+    # AD through the body fails — the cotangent carries varying-manual-axes
+    # {V:model} while the traced output type is unannotated ("cotangent type
+    # does not match function output", reproduced 2026-08-17 in
+    # tests/test_sharding.py::test_sharded_gradients_match). Propagating vma
+    # annotations through the FFT/custom_vjp pipeline isn't supported yet;
+    # revisit when jax's vma-AD interaction stabilizes (doc/ROADMAP.md).
     out = jax.shard_map(
         local, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         check_vma=False,

@@ -134,6 +134,13 @@ def fft_conv_sharded(
         def body(s, k, b):
             return fft_conv(s, k, b, **conv_kwargs)
 
+    # check_vma=False: with vma checking on (jax 0.9 default), reverse-mode
+    # AD through the body fails — the cotangent carries varying-manual-axes
+    # {V:model} while the traced output type is unannotated ("cotangent type
+    # does not match function output", reproduced 2026-08-17 in
+    # tests/test_sharding.py::test_sharded_gradients_match). Propagating vma
+    # annotations through the FFT/custom_vjp pipeline isn't supported yet;
+    # revisit when jax's vma-AD interaction stabilizes (doc/ROADMAP.md).
     return jax.shard_map(
         body, mesh=mesh,
         in_specs=(sig_spec, ker_spec, bias_spec),
@@ -211,6 +218,13 @@ def fft_conv_transpose_sharded(
     def body(s, k, b):
         return fft_conv_transpose(s, k, b, **conv_kwargs)
 
+    # check_vma=False: with vma checking on (jax 0.9 default), reverse-mode
+    # AD through the body fails — the cotangent carries varying-manual-axes
+    # {V:model} while the traced output type is unannotated ("cotangent type
+    # does not match function output", reproduced 2026-08-17 in
+    # tests/test_sharding.py::test_sharded_gradients_match). Propagating vma
+    # annotations through the FFT/custom_vjp pipeline isn't supported yet;
+    # revisit when jax's vma-AD interaction stabilizes (doc/ROADMAP.md).
     return jax.shard_map(
         body, mesh=mesh,
         in_specs=(sig_spec, ker_spec, bias_spec),

@@ -149,3 +149,42 @@ def test_fused2d_fits_width_budget():
 
     assert fused2d_fits(16, 16, 8, 8, (512, 512), cin_total=8)
     assert not fused2d_fits(16, 16, 16, 8, (256, 65536), cin_total=16)
+
+
+def test_fused2d_strict_precision_absolute_bar():
+    """set_fused2d_precision("highest") meets the reference's ABSOLUTE
+    5e-5/1e-4 bar (reference benchmark_utils.py:53-57)."""
+    from helpers import _assert_almost_equal
+
+    from fft_conv_tpu.kernels.fused2d import set_fused2d_precision
+
+    rng = np.random.default_rng(33)
+    # reference-comparable output scale (the absolute bar assumes it: the
+    # reference grid convolves 2-3 channels with 2-3-tap kernels)
+    sig = rng.standard_normal((1, 2, 200, 180)).astype(np.float32)
+    w = rng.standard_normal((2, 2, 5, 5)).astype(np.float32)
+    b = rng.standard_normal((2,)).astype(np.float32)
+    set_fused2d_precision("highest")
+    try:
+        y = fft_conv2d_fused(
+            jnp.asarray(sig), jnp.asarray(w), jnp.asarray(b), padding=3
+        )
+    finally:
+        set_fused2d_precision("bf16x3")
+    y_ref = TF.conv2d(
+        torch.tensor(sig), torch.tensor(w), torch.tensor(b), padding=3
+    ).numpy()
+    _assert_almost_equal(y, y_ref)
+
+
+def test_plan_fft_conv2d_wide_image_rejected():
+    """plan_fft_conv2d gates on the full per-cell VMEM budget (which
+    scales with image width), not just the tile plan (ADVICE r2 medium)."""
+    from fft_conv_tpu.kernels.fused2d import fused2d_fits, plan_fft_conv2d
+
+    w = jnp.ones((8, 8, 16, 16), jnp.float32)
+    # tile plan exists, but the wide image busts the per-cell budget
+    assert tile_plan_2d(16, 16, 8, 8) is not None
+    assert not fused2d_fits(16, 16, 8, 8, (256, 65536))
+    with pytest.raises(ValueError):
+        plan_fft_conv2d(w, signal_hw=(256, 65536))
