@@ -83,6 +83,7 @@ def main():
     from fft_conv_tpu.bench.harness import benchmark_fori
     from fft_conv_tpu.kernels.fused1d import fft_conv1d_fused
     from fft_conv_tpu.kernels.fused2d import fft_conv2d_fused
+    from fft_conv_tpu.kernels.fused3d import fft_conv3d_fused
 
     platform = jax.devices()[0].platform
     rng = np.random.default_rng(0)
@@ -118,6 +119,8 @@ def main():
             paths["fused"] = fft_conv1d_fused
         if ndim == 2:
             paths["fused"] = fft_conv2d_fused
+        if ndim == 3:
+            paths["fused"] = fft_conv3d_fused
 
         ref_out = None
         t_fft, best = None, None
@@ -170,6 +173,19 @@ def main():
             for _ in range(2)
         )
         speedups.append(t_direct / t_fft)
+        # roofline evidence (BASELINE.md target 2): achieved_gbps is the
+        # MINIMUM HBM traffic (read signal+kernel once, write output once,
+        # f32) over the measured time — the fused pipelines keep all
+        # intermediates in VMEM, so this is their true HBM throughput vs
+        # the v5e ~819 GB/s roofline. effective_gflops is the
+        # direct-conv-equivalent FLOP rate (2*B*Cout*Cin*prod(out)*prod(k))
+        # the pipeline sustains — the honest "work done per second" metric
+        # for an FFT algorithm that does asymptotically fewer real flops.
+        out_spatial = [size - k + 1] * ndim
+        min_bytes = 4 * (
+            sig.size + ker.size + 2 * 8 * math.prod(out_spatial)
+        )
+        direct_flops = 2 * 2 * 8 * 8 * math.prod(out_spatial) * k ** ndim
         details.append(
             {
                 "config": config_name,
@@ -177,6 +193,9 @@ def main():
                 "direct_ms": round(t_direct * 1e3, 3),
                 "speedup": round(t_direct / t_fft, 2),
                 "path": best,
+                "achieved_gbps": round(min_bytes / t_fft / 1e9, 1),
+                "hbm_roofline_frac": round(min_bytes / t_fft / 819e9, 3),
+                "effective_gflops": round(direct_flops / t_fft / 1e9, 1),
             }
         )
         print(f"# {details[-1]}", file=sys.stderr)

@@ -546,31 +546,49 @@ def fft_conv_transpose1d_fused(
     kernel: jax.Array,
     bias: Optional[jax.Array] = None,
     padding: int = 0,
+    stride: int = 1,
+    dilation: int = 1,
+    groups: int = 1,
+    output_padding: int = 0,
 ) -> jax.Array:
-    """Fused-Pallas 1D transposed convolution (stride=1, dilation=1,
-    groups=1, output_padding=0 — torch requires output_padding <
-    max(stride, dilation) so 0 is the only legal value here).
+    """Fused-Pallas 1D transposed convolution, full argument surface.
 
-    A stride-1 transposed conv is the full correlation with the
-    spatially-flipped, (Cin,Cout)-swapped kernel (reference
-    functional.py:109-114), cropped by ``padding`` per side — so it rides
-    the same fused kernel with symmetric padding K-1.
+    A transposed conv is the full correlation of the interior-zero-stuffed
+    signal with the spatially-flipped, (Cin,Cout)-swapped, dilated kernel
+    (reference functional.py:109-139), cropped by ``padding`` per side —
+    so every configuration rides the same unit-stride fused kernel: one
+    ``lax.pad`` builds left pad K-1, interior stride-1 zeros, and right
+    pad K-1+output_padding in a single op, exactly the composed path's
+    transform (ops/functional.py:543-549) hoisted in front of the kernel.
     """
     if signal.ndim != 3 or kernel.ndim != 3:
         raise ValueError(
-            "fft_conv_transpose1d_fused expects (B, Cin, L) and (Cin, Cout, K)"
+            "fft_conv_transpose1d_fused expects (B, Cin, L) and "
+            "(Cin, Cout/g, K)"
         )
-    cin, cout, k = kernel.shape
+    cin, cout_g, k = kernel.shape
     if signal.shape[1] != cin:
         raise ValueError(f"kernel Cin {cin} != signal Cin {signal.shape[1]}")
-    out_len = signal.shape[2] + k - 1 - 2 * padding
+    if cin % groups:
+        raise ValueError(f"in_channels {cin} not divisible by groups {groups}")
+    # flip + group-swap (Cin, Cout/g, K) -> (Cout, Cin/g, K), then dilate
+    w = jnp.flip(kernel, axis=2)
+    w = w.reshape(groups, cin // groups, cout_g, k)
+    w = jnp.swapaxes(w, 1, 2).reshape(groups * cout_g, cin // groups, k)
+    w = F._dilate_kernel(w, (dilation,))
+    k_dil = w.shape[-1]
+    out_len = (
+        (signal.shape[2] - 1) * stride - 2 * padding + k_dil + output_padding
+    )
     if out_len < 1:
         raise ValueError(
             f"non-positive output length {out_len} (L={signal.shape[2]}, "
             f"K={k}, padding={padding})"
         )
-    w = jnp.swapaxes(jnp.flip(kernel, axis=2), 0, 1)  # (Cout, Cin, K)
-    out = fft_conv1d_fused(signal, w, None, padding=k - 1)
+    config = [(0, 0, 0), (0, 0, 0),
+              (k_dil - 1, k_dil - 1 + output_padding, stride - 1)]
+    x = lax.pad(signal, jnp.zeros((), signal.dtype), config)
+    out = fft_conv1d_fused(x, w, None, groups=groups)
     out = lax.slice_in_dim(out, padding, padding + out_len, axis=2)
     if bias is not None:
         out = out + bias.reshape(1, -1, 1)

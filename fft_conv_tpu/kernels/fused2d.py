@@ -522,28 +522,56 @@ def fft_conv_transpose2d_fused(
     kernel: jax.Array,
     bias: Optional[jax.Array] = None,
     padding=0,
+    stride=1,
+    dilation=1,
+    groups: int = 1,
+    output_padding=0,
 ) -> jax.Array:
-    """Fused-Pallas 2D transposed convolution (stride=1, dilation=1,
-    groups=1). Full correlation with the flipped, (Cin,Cout)-swapped kernel
-    (reference functional.py:109-114), cropped by ``padding`` per side."""
+    """Fused-Pallas 2D transposed convolution, full argument surface.
+
+    Full correlation of the interior-zero-stuffed signal with the flipped,
+    (Cin,Cout)-swapped, dilated kernel (reference functional.py:109-139),
+    cropped by ``padding`` per side — one ``lax.pad`` builds the stride
+    upsampling plus the full-conv borders, then the unit-stride fused tile
+    kernel runs unchanged (see fft_conv_transpose1d_fused)."""
     if signal.ndim != 4 or kernel.ndim != 4:
         raise ValueError(
-            "fft_conv_transpose2d_fused expects (B, Cin, H, W), (Cin, Cout, K1, K2)"
+            "fft_conv_transpose2d_fused expects (B, Cin, H, W), "
+            "(Cin, Cout/g, K1, K2)"
         )
     padding_ = to_ntuple(padding, 2)
-    cin, cout, k1, k2 = kernel.shape
+    stride_ = to_ntuple(stride, 2)
+    dilation_ = to_ntuple(dilation, 2)
+    output_padding_ = to_ntuple(output_padding, 2)
+    cin, cout_g, k1, k2 = kernel.shape
     if signal.shape[1] != cin:
         raise ValueError(f"kernel Cin {cin} != signal Cin {signal.shape[1]}")
-    out_h = signal.shape[2] + k1 - 1 - 2 * padding_[0]
-    out_w = signal.shape[3] + k2 - 1 - 2 * padding_[1]
-    if out_h < 1 or out_w < 1:
-        raise ValueError(f"non-positive output size ({out_h}, {out_w})")
-    w = jnp.swapaxes(jnp.flip(kernel, axis=(2, 3)), 0, 1)
-    out = fft_conv2d_fused(signal, w, None, padding=(k1 - 1, k2 - 1))
+    if cin % groups:
+        raise ValueError(f"in_channels {cin} not divisible by groups {groups}")
+    w = jnp.flip(kernel, axis=(2, 3))
+    w = w.reshape(groups, cin // groups, cout_g, k1, k2)
+    w = jnp.swapaxes(w, 1, 2).reshape(groups * cout_g, cin // groups, k1, k2)
+    w = F._dilate_kernel(w, dilation_)
+    kd1, kd2 = w.shape[2:]
+    out_hw = tuple(
+        (s - 1) * t - 2 * p + kd + op
+        for s, t, p, kd, op in zip(
+            signal.shape[2:], stride_, padding_, (kd1, kd2), output_padding_
+        )
+    )
+    if out_hw[0] < 1 or out_hw[1] < 1:
+        raise ValueError(f"non-positive output size {out_hw}")
+    config = [(0, 0, 0), (0, 0, 0)] + [
+        (kd - 1, kd - 1 + op, t - 1)
+        for kd, op, t in zip((kd1, kd2), output_padding_, stride_)
+    ]
+    x = lax.pad(signal, jnp.zeros((), signal.dtype), config)
+    out = fft_conv2d_fused(x, w, None, groups=groups)
     out = lax.slice(
         out,
         (0, 0, padding_[0], padding_[1]),
-        (out.shape[0], out.shape[1], padding_[0] + out_h, padding_[1] + out_w),
+        (out.shape[0], out.shape[1],
+         padding_[0] + out_hw[0], padding_[1] + out_hw[1]),
     )
     if bias is not None:
         out = out + bias.reshape(1, -1, 1, 1)

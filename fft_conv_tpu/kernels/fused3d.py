@@ -1,39 +1,44 @@
-"""Fused 3D FFT convolution — Pallas TPU whole-volume kernel (EXPERIMENTAL:
-correct and tested, but measured 2.31 ms vs the composed path's 2.08 ms at
-the reference benchmark shape, so impl="auto" does NOT route here).
+"""Fused 3D FFT convolution — Pallas TPU whole-volume kernel, v2.
 
-At the reference 3D benchmark size (64^3, B=2, 8->8, K=8^3: reference
-doc/scripts/generate_benchmark_plot.py:149-158) the composed path is bound
-by HBM round trips and 64-wide matmuls (measured 2.1 ms; stage profile:
-signal fwd 0.39, kernel fwd 0.41, MAC 0.19, inverse 0.54 ms). This kernel
-runs the entire pipeline in VMEM — the whole (Cin, D, H, W) volume is only
-8 MiB — with a structure chosen per-axis for the TPU ISA:
+v1 (round 2) ran the whole pipeline in VMEM but lost to the composed path
+(2.31 vs 2.08 ms at the reference benchmark shape 64^3 K=8^3, reference
+doc/scripts/generate_benchmark_plot.py:149-158) for three measured
+reasons: the W axis was zero-padded 64 -> 128 lanes (2x wasted flops and
+VPU lanes), the one-sided H matmuls ran at M=33 of 128 rows against a
+128-wide volume, and the D-tap MAC did KD x the work on those 2x-padded
+lanes. v2 removes the padding waste entirely:
 
-  W axis  — full 128-point DFT (input zero-padded to one lane tile) as a
-            merged rank-3 minor-dim matmul per channel.
-  H axis  — one-sided DFT contracting the LEADING dim of (H, D, TW):
-            Mosaic lowers leading/minor contractions as single matmuls
-            when the minor dims collapse to whole 128-lane tiles; MIDDLE
-            contractions unroll one matmul per page (~2300 units here),
-            which blows the compile past 9 minutes.
-  D axis  — NO transform: the kernel's KD taps are summed directly in the
-            2D spectral domain (out[d] = sum_kd spec2d(x[d+kd]) * W2[kd])
-            inside a lax.fori_loop (static unrolling of the (o, t) loops
-            over multi-thousand-vreg values is another compile-time trap).
+  PACKED LANES — two consecutive D-slabs share one 128-lane tile:
+      xp[c, h, p, 64*s + w] = x[c, 2p + s, h, w]
+  so every matmul minor dim is a FULL 128-lane tile of real data.
 
-Why it does not win (v5e, 2026-08-17, 2.31 ms): the one-sided H matmuls
-run at M=33 of 128 rows; the tap-domain MAC does KD x the transform-domain
-MAC work on 2x-padded lanes (~0.29 ms/batch of VPU); and the per-tap
-kernel spectra cost ~0.2-0.4 ms in XLA. A D-transform variant was
-estimated at ~1.5 ms — still short of the 5x bar (1.06 ms) — so the
-composed path remains the routed 3D implementation. Kept as the starting
-point for a future revision (per-axis lowering rules above are the
-hard-won part).
+  W axis — 64-point full DFT per lane half via a BLOCK-DIAGONAL
+      (128, 128) matrix diag(F64, F64): one merged rank-4 minor-dim
+      matmul transforms both slabs of every tile at once. The transform
+      length equals W, so the conv is circular — valid outputs
+      [0, W-KW+1) never see wraparound (reference crop semantics,
+      functional.py:76-82), zero padding flops.
+
+  H axis — one-sided 64-point rfft contracting the LEADING dim of
+      (H, P, 128) per channel (single matmul; minor dims collapse to
+      whole 128-lane tiles — the Mosaic lowering rule from v1).
+
+  D axis — tap-domain MAC in the 2D spectral domain, but on packed
+      lanes. Even taps kd=2m are pair-aligned: out_pair[p] += spec
+      pair [p+m] * W[2m] (both lane halves use the same kernel value).
+      Odd taps need the half-shifted pairing (x[2p+1], x[2p+2]); that
+      is exactly the HALF-LANE ROLL of the spectra combined with a
+      page shift, so the kernel precomputes R = roll(S, 64 lanes) once
+      and gives the R-taps lane-half-DEPENDENT kernel spectra:
+          KR[m'].low  = W[2m'+1]   (page offset m')
+          KR[m'].high = W[2m'-1]
+      The MAC stays the proven dynamic-ref-slice fori_loop of v1 —
+      no misaligned DMAs, no cross-page shuffles in the loop.
 
 All dots run bf16x3 by default (hi/lo split, 3 MXU passes — see fused1d).
-Kernel per-tap 2D spectra (Cout, KD, Cin, NBH, TW), conjugated, are
-computed in XLA and stay VMEM-resident. Gradients via jax.custom_vjp with
-the composed ops as backward (SURVEY §3.4), matching fused1d/fused2d.
+Kernel per-tap spectra are computed in XLA (two dense matmul einsums),
+conjugated, and stay VMEM-resident. Gradients via jax.custom_vjp with the
+composed ops as backward (SURVEY §3.4), matching fused1d/fused2d.
 
 Reference semantics: functional.py:19-89 (fft_conv), valid cross-
 correlation of the padded signal, torch conv3d convention.
@@ -52,13 +57,16 @@ from jax.experimental.pallas import tpu as pltpu
 from ..ops import functional as F
 from ..ops.spectral import _dft_mats, _irfft_mats, _rfft_mats
 from ..utils.shapes import to_ntuple
-from . import fused1d
 from .fused1d import _dot
 
-# resident kernel-spectra budget: Cout*Cin*KD*NBH*W*8 bytes
+# resident kernel-spectra budget: Cout*T*Cin*NBH*128*8 bytes
 _KER_VMEM_BUDGET = 24 * 2**20
-# whole-volume VMEM budget for the signal-side arrays
-_VOL_VMEM_BUDGET = 64 * 2**20
+# per-cell VMEM budget for the signal-side scratch (x + S/R spectra + out)
+_VOL_VMEM_BUDGET = 80 * 2**20
+
+# W-axis transform length: one lane HALF. Two D-slabs pack per 128-lane
+# tile, each transformed by its own F64 block of the block-diagonal matrix.
+_TW = 64
 
 # 3D kernel matmul precision (independent switch, like fused2d's)
 _PRECISION_3D = "bf16x3"
@@ -77,68 +85,93 @@ def set_fused3d_precision(mode: str) -> None:
         _fused3d_call.cache_clear()
 
 
-# W-axis transform length: one full lane tile. Mosaic's rank-3 MIDDLE
-# contraction (the H stage) lowers via a pages->lanes collapse that is
-# layout-free only when the minor dim is a multiple of 128 — a 64-lane
-# minor dim fails with "infer-vector-layout: unsupported shape cast".
-# 128 >= W+KW-1 also makes the W conv linear (no circular wraparound).
-_TW = 128
+def _tap_counts(kd: int) -> Tuple[int, int]:
+    """(ME, MR): even-tap count and R-tap count (0 when KD has no odd taps).
+
+    Even taps kd=2m, m in [0, ME). R taps m' in [0, MR) carry the odd
+    kernel taps split per lane half (see module docstring)."""
+    me = (kd + 1) // 2
+    mo = kd // 2
+    return me, (mo + 1) if mo else 0
 
 
 def plan_3d(cin: int, cout: int, d: int, h: int, w: int,
             kd: int, kh: int, kw: int):
-    """(NBH,) plan or None when the fused 3D kernel doesn't fit.
+    """(NBH, VDP, pages) plan or None when the fused 3D kernel doesn't fit.
 
-    Eligibility: W fits one lane tile, the padded volume and kernel
-    spectra inside their VMEM budgets, groups handled by caller.
-    """
-    if w > _TW or h > 256 or kd > d or kh > h or kw > w:
+    Eligibility: W fits one lane half, kernel spectra and per-cell volume
+    scratch inside their VMEM budgets, groups handled by caller."""
+    if w > _TW or kd > d or kh > h or kw > w:
         return None
     nbh = h // 2 + 1
-    if cout * cin * kd * nbh * _TW * 8 > _KER_VMEM_BUDGET:
+    me, mr = _tap_counts(kd)
+    taps = me + mr
+    if cout * taps * cin * nbh * 128 * 8 > _KER_VMEM_BUDGET:
         return None
-    # x + H-spectra (complex, TW lanes) resident per batch cell
-    if cin * d * (h * _TW + 2 * nbh * _TW) * 4 > _VOL_VMEM_BUDGET:
+    vd = d - kd + 1
+    # VDP (MAC slice length, sublane dim) and the page count must be whole
+    # 8-row tiles: Mosaic's leading/minor-dim collapses are layout-free
+    # only for whole (8, 128) tiles — otherwise it unrolls one matmul per
+    # page and the compile explodes (v1 lesson, >400 s observed)
+    vdp = -(-(-(-vd // 2)) // 8) * 8
+    pages = -(-(max(me - 1, mr - 1 if mr else 0) + vdp) // 8) * 8
+    vh = h - kh + 1
+    # x scratch + 4 spectra refs (S/R re+im) + 2 acc refs + out block, f32
+    cell = (
+        cin * h * pages * 128
+        + 4 * cin * nbh * pages * 128
+        + 2 * cout * nbh * vdp * 128
+        + cout * vh * vdp * 128
+    ) * 4
+    if cell > _VOL_VMEM_BUDGET:
         return None
-    return (nbh,)
+    return nbh, vdp, pages
 
 
 @lru_cache(maxsize=None)
-def _mats_3d(h: int, w: int, vh: int):
-    """Split-f32 factor matrices: W full DFT fwd (W, TW) row-sliced /
-    inv (TW, TW), H one-sided fwd (NBH, H), H irfft rows (VH, NBH)."""
+def _mats_3d(h: int, vh: int):
+    """Split-f32 factor matrices: H one-sided fwd (NBH, H), block-diagonal
+    W full DFT fwd/inv (128, 128), H irfft rows (VH, NBH)."""
+    fr, fi = _rfft_mats(h)             # (H, NBH)
     wr, wi = _dft_mats(_TW, inverse=False)
     ur, ui = _dft_mats(_TW, inverse=True)
-    fr, fi = _rfft_mats(h)             # (H, NBH)
     cr, ci = _irfft_mats(h)            # (NBH, H)
+
+    def blkdiag(m):
+        out = np.zeros((2 * _TW, 2 * _TW), m.dtype)
+        out[:_TW, :_TW] = m
+        out[_TW:, _TW:] = m
+        return out
+
     out = (
-        wr, wi,                        # (TW, TW); input zero-padded to TW
-        ur, ui,                        # (TW, TW)
         fr.T, fi.T,                    # (NBH, H)
+        blkdiag(wr), blkdiag(wi),      # (128, 128)
+        blkdiag(ur), blkdiag(ui),
         np.ascontiguousarray(cr.T[:vh]),   # (VH, NBH)
         np.ascontiguousarray(ci.T[:vh]),
     )
     return tuple(np.ascontiguousarray(m, np.float32) for m in out)
 
 
-def _kernel_spectra_3d(kernel: jax.Array, h: int, w: int, nbh: int):
-    """Conjugated per-tap 2D spectra of the (Cout, Cin, KD, KH, KW) kernel,
-    laid out (Cout, Cin, KD, NBH, TW) split re/im — computed in XLA with
-    row-sliced DFT matrices (contractions of length KH/KW only)."""
+def _kernel_spectra_3d(kernel: jax.Array, h: int, nbh: int):
+    """Per-tap 2D spectra of the (Cout, Cin, KD, KH, KW) kernel, conjugated
+    and packed for the lane-paired MAC: (Cout, ME+MR, Cin, NBH, 128) split
+    re/im. Taps [0, ME) are the even D-taps (same spectrum in both lane
+    halves); taps [ME, ME+MR) are the R-taps with half-dependent odd-tap
+    spectra (see module docstring). Two dense einsums in XLA — cheap."""
     cout, cin, kd, kh, kw = kernel.shape
     hp = lax.Precision.HIGHEST
-    wr, wi, _, _, fr, fi, _, _ = (
-        jnp.asarray(m) for m in _mats_3d(h, w, 1)
-    )
-    fr = fr[:, :kh]                    # (NBH, KH)
-    fi = fi[:, :kh]
-    wr_s = wr[:kw]                     # (KW, TW)
-    wi_s = wi[:kw]
+    fr, fi = _rfft_mats(h)
+    fr = jnp.asarray(fr[:kh].T, jnp.float32)   # (NBH, KH)
+    fi = jnp.asarray(fi[:kh].T, jnp.float32)
+    wr, wi = _dft_mats(_TW, inverse=False)
+    wr_s = jnp.asarray(wr[:kw], jnp.float32)   # (KW, TW)
+    wi_s = jnp.asarray(wi[:kw], jnp.float32)
     k = kernel.astype(jnp.float32)
-    # H transform: (NBH, KH) x (..., KH, KW) -> (..., NBH, KW)
+    # H transform: (NBH, KH) x (O, C, KD, KH, KW) -> (O, C, KD, NBH, KW)
     ar = jnp.einsum("nk,ocdkw->ocdnw", fr, k, precision=hp)
     ai = jnp.einsum("nk,ocdkw->ocdnw", fi, k, precision=hp)
-    # W transform: contract KW with (KW, W)
+    # W transform: contract KW with (KW, TW)
     br = (
         jnp.einsum("ocdnw,wz->ocdnz", ar, wr_s, precision=hp)
         - jnp.einsum("ocdnw,wz->ocdnz", ai, wi_s, precision=hp)
@@ -147,97 +180,124 @@ def _kernel_spectra_3d(kernel: jax.Array, h: int, w: int, nbh: int):
         jnp.einsum("ocdnw,wz->ocdnz", ar, wi_s, precision=hp)
         + jnp.einsum("ocdnw,wz->ocdnz", ai, wr_s, precision=hp)
     )
-    # conjugate (cross-correlation); layout (Cout, KD, Cin, NBH, TW) so
-    # the kernel's fori_loop reads kr_ref[o, t] as one (Cin, NBH, TW) block
-    return jnp.transpose(br, (0, 2, 1, 3, 4)), jnp.transpose(-bi, (0, 2, 1, 3, 4))
+    bi = -bi  # conjugate: cross-correlation
+
+    me, mr = _tap_counts(kd)
+
+    def pack(b):
+        # even taps: duplicate the spectrum into both lane halves
+        ke = jnp.concatenate([b[:, :, 0:kd:2], b[:, :, 0:kd:2]], axis=-1)
+        parts = [ke]
+        if mr:
+            zero = jnp.zeros_like(b[:, :, :1])
+            odd = b[:, :, 1:kd:2]              # (O, C, MO, NBH, TW)
+            lo = jnp.concatenate([odd, zero], axis=2)    # m' < MO
+            hi = jnp.concatenate([zero, odd], axis=2)    # m' >= 1
+            parts.append(jnp.concatenate([lo, hi], axis=-1))
+        # (O, C, T, NBH, 128) -> (O, T, C, NBH, 128) for per-(o, t) slices
+        return jnp.transpose(jnp.concatenate(parts, axis=2), (0, 2, 1, 3, 4))
+
+    return pack(br), pack(bi)
 
 
-def _make_kernel_3d(cin, cout, d, h, w, kd, nbh, vdp, vh, precision):
-    """Kernel body. Logical shapes (D pre-padded so VDP = D-KD+1 is a
-    multiple of 8):
-      x       (Cin, D, H, W)    natural 4D layout, (H, W) pages
-      kr/ki   (Cout, KD, Cin, NBH, TW)
-      out_ref (1, Cout, VH, VDP, W) — (h, d, w) axis order; XLA transposes
+def _make_kernel_3d(cin, cout, h, nbh, pages, vdp, vh, me, mr, precision):
+    """Kernel body. Logical shapes:
+      x        (Cin, H, P, 128)  packed lanes (d-pair, w)
+      kr/ki    (Cout, ME+MR, Cin, NBH, 128)
+      out_ref  (1, Cout, VH, VDP, 128)
 
-    Mosaic constraint driving the structure: value-level reshapes between
-    rank-2 and rank-3 are unsupported ("infer-vector-layout: unsupported
-    shape cast"), so every dot keeps its operands' natural ranks. Rank-3
-    MINOR contractions whose leading-dims collapse is layout-free lower to
-    single 2D matmuls (the fused1d _mm_right pattern); rank-3 MIDDLE
-    contractions unroll over the page dim (fused1d stage-1 pattern).
-    """
+    Lowering rules (hard-won in v1, kernels/fused3d.py r2): leading/minor
+    rank-3/4 contractions collapse to single matmuls iff the minor dims
+    are whole 128-lane tiles (true everywhere here — lanes are packed);
+    middle contractions unroll per page; per-kernel unrolled statement
+    counts stay in the low hundreds via fori_loops with dynamic ref
+    slices for the tap MAC."""
 
     def body(
         x_hbm, kr_ref, ki_ref,
-        wr, wi, ur, ui, fr, fi, cr, ci,
-        out_ref, x_vmem, hr_s, hi_s, dma_sem,
+        frm, fim, bwr, bwi, bur, bui, crm, cim,
+        out_ref, x_vmem, sr_s, si_s, rr_s, ri_s, ar_s, ai_s, dma_sem,
     ):
         b = pl.program_id(0)
         dma = pltpu.make_async_copy(x_hbm.at[b], x_vmem, dma_sem)
         dma.start()
         dma.wait()
 
-        dn_min = (((2,), (0,)), ((), ()))   # rank-3 minor contraction
-        dn_mid = (((1,), (1,)), ((), ()))   # rank-3 middle contraction
-        dn_lead = (((1,), (0,)), ((), ()))  # rank-3 leading contraction
-        wrm, wim = wr[...], wi[...]
-        frm, fim = fr[...], fi[...]
-        urm, uim = ur[...], ui[...]
-        crm, cim = cr[...], ci[...]
+        dn_lead = (((1,), (0,)), ((), ()))  # (M, K) x (K, P, 128)
+        dn_min3 = (((2,), (0,)), ((), ()))  # (NBH, P, 128) x (128, 128)
+        fr_, fi_ = frm[...], fim[...]
+        bwr_, bwi_ = bwr[...], bwi[...]
+        bur_, bui_ = bur[...], bui[...]
+        cr_, ci_ = crm[...], cim[...]
 
-        # ---- forward per channel: W full DFT contracts the minor dim of
-        # the (H, D, TW) block (one merged matmul), then the H one-sided
-        # DFT contracts the LEADING dim — x arrives (Cin, H, D, W) so that
-        # both stages are single-matmul lowerings. (A middle contraction
-        # here would internally unroll one matmul per D page — ~2300 units
-        # across the channel loop, which sends Mosaic's compile time past
-        # 9 minutes; leading contractions collapse the (D, TW) minor dims
-        # into lanes instead, legal because TW == 128.)
+        # forward per channel: H one-sided rfft (leading contraction, real
+        # input: 2 matmuls), then the block-diagonal W DFT (minor
+        # contraction, 4 matmuls); spectra land in S refs, and their
+        # half-lane roll in R refs for the odd D-taps.
         for c in range(cin):
-            xc = x_vmem[c]                      # (H, D, TW) real
-            s_r = _dot(xc, wrm, dn_min, precision)
-            s_i = _dot(xc, wim, dn_min, precision)
-            hr_s[c] = (
-                _dot(frm, s_r, dn_lead, precision)
-                - _dot(fim, s_i, dn_lead, precision)
-            )                                   # (NBH, D, TW)
-            hi_s[c] = (
-                _dot(frm, s_i, dn_lead, precision)
-                + _dot(fim, s_r, dn_lead, precision)
+            xc = x_vmem[c]                     # (H, P, 128) real
+            hr = _dot(fr_, xc, dn_lead, precision)   # (NBH, P, 128)
+            hi = _dot(fi_, xc, dn_lead, precision)
+            sr = (
+                _dot(hr, bwr_, dn_min3, precision)
+                - _dot(hi, bwi_, dn_min3, precision)
+            )
+            si = (
+                _dot(hr, bwi_, dn_min3, precision)
+                + _dot(hi, bwr_, dn_min3, precision)
+            )
+            sr_s[c] = sr
+            si_s[c] = si
+            if mr:
+                rr_s[c] = pltpu.roll(sr, _TW, axis=2)
+                ri_s[c] = pltpu.roll(si, _TW, axis=2)
+
+        # D-tap MAC (VPU): taps OUTER, out-channels inner, accumulators in
+        # scratch refs — the dynamic sublane-offset spectra slice (the
+        # expensive part: Mosaic realigns the whole (Cin, NBH, VDP, 128)
+        # block per read) happens once per tap instead of once per
+        # (out-channel, tap) — measured 95 -> ~35 us/tap on v5e.
+        ar_s[...] = jnp.zeros((cout, nbh, vdp, 128), jnp.float32)
+        ai_s[...] = jnp.zeros((cout, nbh, vdp, 128), jnp.float32)
+
+        def mac_tap(t, src_r, src_i, koff):
+            xr = src_r[:, :, pl.dslice(t, vdp), :]   # (Cin, NBH, VDP, 128)
+            xi = src_i[:, :, pl.dslice(t, vdp), :]
+            for o in range(cout):
+                kro = kr_ref[o, koff + t][:, :, None, :]
+                kio = ki_ref[o, koff + t][:, :, None, :]
+                # jnp.sum over the leading channel dim measured faster on
+                # v5e than an explicit per-channel accumulation chain
+                # (1.14 vs 1.29 ms whole-kernel)
+                ar_s[o] += jnp.sum(xr * kro - xi * kio, axis=0)
+                ai_s[o] += jnp.sum(xr * kio + xi * kro, axis=0)
+            return 0
+
+        jax.lax.fori_loop(
+            0, me, lambda t, c: mac_tap(t, sr_s, si_s, 0), 0
+        )
+        if mr:
+            jax.lax.fori_loop(
+                0, mr, lambda t, c: mac_tap(t, rr_s, ri_s, me), 0
             )
 
-        # ---- per out-channel: D-tap MAC (VPU) + inverse transforms ----
-        # Both loops are lax.fori_loops with dynamic ref slices: unrolling
-        # cout x kd statements over multi-thousand-vreg rank-4 values made
-        # Mosaic's compile pathological (>9 min; cf. fused2d's rank-4 dot
-        # story).
-        def mac_tap(t, acc):
-            yr, yi, o = acc
-            xr = hr_s[:, :, pl.dslice(t, vdp), :]   # (Cin, NBH, VDP, TW)
-            xi = hi_s[:, :, pl.dslice(t, vdp), :]
-            kro = kr_ref[o, t][:, :, None, :]       # (Cin, NBH, 1, TW)
-            kio = ki_ref[o, t][:, :, None, :]
-            yr = yr + jnp.sum(xr * kro - xi * kio, axis=0)
-            yi = yi + jnp.sum(xr * kio + xi * kro, axis=0)
-            return yr, yi, o
-
+        # inverse transforms per out-channel: W (minor) then H (leading)
         def per_out(o, carry):
-            zero = jnp.zeros((nbh, vdp, _TW), jnp.float32)
-            yr, yi, _ = jax.lax.fori_loop(0, kd, mac_tap, (zero, zero, o))
-            # W inverse on (NBH, VDP, TW): minor contraction
+            yr = ar_s[o]
+            yi = ai_s[o]
             er = (
-                _dot(yr, urm, dn_min, precision)
-                - _dot(yi, uim, dn_min, precision)
+                _dot(yr, bur_, dn_min3, precision)
+                - _dot(yi, bui_, dn_min3, precision)
             )
             ei = (
-                _dot(yr, uim, dn_min, precision)
-                + _dot(yi, urm, dn_min, precision)
+                _dot(yr, bui_, dn_min3, precision)
+                + _dot(yi, bur_, dn_min3, precision)
             )
-            # H inverse irfft, valid rows only: (VH, NBH) x (NBH, VDP, TW)
+            # H inverse irfft, valid rows only: (VH, NBH) x (NBH, VDP, 128)
             out = (
-                _dot(crm, er, dn_lead, precision)
-                + _dot(cim, ei, dn_lead, precision)
-            )                                   # (VH, VDP, TW)
+                _dot(cr_, er, dn_lead, precision)
+                + _dot(ci_, ei, dn_lead, precision)
+            )                                   # (VH, VDP, 128)
             out_ref[0, o] = out
             return carry
 
@@ -247,50 +307,55 @@ def _make_kernel_3d(cin, cout, d, h, w, kd, nbh, vdp, vh, precision):
 
 
 @lru_cache(maxsize=None)
-def _fused3d_call(b, cin, cout, d, h, w, kd, nbh, vdp, vh, precision,
+def _fused3d_call(b, cin, cout, h, nbh, pages, vdp, vh, me, mr, precision,
                   interpret):
     if interpret and precision == "bf16x3":
         precision = "bf16x3_exact"  # see fused1d._dot3
+    taps = me + mr
     mat_spec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     grid_spec = pl.GridSpec(
         grid=(b,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # x (B, Cin, H, D, W) in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # x (B, Cin, H, P, 128) HBM
             pl.BlockSpec(
-                (cout, kd, cin, nbh, _TW), lambda b_: (0, 0, 0, 0, 0),
+                (cout, taps, cin, nbh, 128), lambda b_: (0, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (cout, kd, cin, nbh, _TW), lambda b_: (0, 0, 0, 0, 0),
+                (cout, taps, cin, nbh, 128), lambda b_: (0, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ] + [mat_spec() for _ in range(8)],
         out_specs=pl.BlockSpec(
-            (1, cout, vh, vdp, _TW), lambda b_: (b_, 0, 0, 0, 0),
+            (1, cout, vh, vdp, 128), lambda b_: (b_, 0, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((cin, h, d, _TW), jnp.float32),   # x, (H, D, W) order
-            pltpu.VMEM((cin, nbh, d, _TW), jnp.float32),  # H re
-            pltpu.VMEM((cin, nbh, d, _TW), jnp.float32),  # H im
+            pltpu.VMEM((cin, h, pages, 128), jnp.float32),    # x packed
+            pltpu.VMEM((cin, nbh, pages, 128), jnp.float32),  # S re
+            pltpu.VMEM((cin, nbh, pages, 128), jnp.float32),  # S im
+            pltpu.VMEM((cin, nbh, pages, 128), jnp.float32),  # R re
+            pltpu.VMEM((cin, nbh, pages, 128), jnp.float32),  # R im
+            pltpu.VMEM((cout, nbh, vdp, 128), jnp.float32),   # acc re
+            pltpu.VMEM((cout, nbh, vdp, 128), jnp.float32),   # acc im
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    vol = d * h * w
-    # 2D dot flops (one real mul-add = 2): W fwd/inv + H fwd/inv + VPU MAC
+    # matmul MACs x2 flops: H fwd/inv (leading) + W fwd/inv (minor) + MAC
     flops = b * 2 * (
-        cin * vol * w * 2                      # W fwd (2 real dots)
-        + cin * nbh * d * w * h * 4            # H fwd (4 dots)
-        + cout * nbh * vdp * w * (cin * kd * 4 + w * 4)  # MAC + W inv
-        + cout * vh * vdp * w * nbh * 2        # H inv
+        cin * (2 * nbh * h + 4 * 128) * pages * 128          # fwd
+        + cout * (4 * 128 + 2 * vh * nbh / 128) * vdp * 128  # inv
+        + cout * cin * taps * nbh * vdp * 128 * 4            # MAC (VPU)
     )
     return pl.pallas_call(
-        _make_kernel_3d(cin, cout, d, h, w, kd, nbh, vdp, vh, precision),
+        _make_kernel_3d(cin, cout, h, nbh, pages, vdp, vh, me, mr,
+                        precision),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, cout, vh, vdp, _TW), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, cout, vh, vdp, 128), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=flops,
-            bytes_accessed=(b * cin * vol + b * cout * vh * vdp * w) * 4,
+            flops=int(flops),
+            bytes_accessed=(b * cin * h * pages + b * cout * vh * vdp)
+            * 128 * 4,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
@@ -312,34 +377,36 @@ def _fused3d_core(x_padded, kernel, out_dhw: Tuple[int, int, int]):
 def _fused3d_forward(x_padded, kernel, out_dhw):
     b, cin, d, h, w = x_padded.shape
     cout, cpg, kd, kh, kw = kernel.shape
-    nbh = h // 2 + 1
+    plan = plan_3d(cin, cout, d, h, w, kd, kh, kw)
+    if plan is None:
+        raise ValueError("no fused 3D configuration fits this shape")
+    nbh, vdp, pages = plan
+    me, mr = _tap_counts(kd)
     od, oh, ow = out_dhw
-    vh = h - kh + 1        # valid H rows the irfft keeps
-    # pad D twice over: VDP (the tap-MAC output pages) to a multiple of 8,
-    # and the padded D itself to a multiple of 8 so the H-forward's 8-page
-    # chunking tiles it exactly
-    vdp = -(-(d - kd + 1) // 8) * 8
-    d_pad = -(-(kd - 1 + vdp) // 8) * 8
-    # pad W to the TW lane tile too: the kernel's whole-array DMA requires
-    # the HBM operand's minor dim to be 128-aligned
-    if d_pad != d or w != _TW:
-        x_padded = jnp.pad(
-            x_padded,
-            ((0, 0), (0, 0), (0, d_pad - d), (0, 0), (0, _TW - w)),
-        )
+    vh = h - kh + 1
 
-    # (B, Cin, H, D, W): H leading so the kernel's H-stage is a
-    # leading-dim contraction (see _make_kernel_3d)
-    x5d = jnp.transpose(x_padded.astype(jnp.float32), (0, 1, 3, 2, 4))
-    kr, ki = _kernel_spectra_3d(kernel.astype(jnp.float32), h, w, nbh)
-    mats = [jnp.asarray(m) for m in _mats_3d(h, w, vh)]
+    # pack lanes: xp[b, c, h, p, TW*s + w] = x[b, c, 2p + s, h, w]
+    x = x_padded.astype(jnp.float32)
+    if 2 * pages != d or w != _TW:
+        x = jnp.pad(
+            x, ((0, 0), (0, 0), (0, 2 * pages - d), (0, 0), (0, _TW - w))
+        )
+    x = x.reshape(b, cin, pages, 2, h, _TW)
+    x = jnp.transpose(x, (0, 1, 4, 2, 3, 5))
+    x = x.reshape(b, cin, h, pages, 2 * _TW)
+
+    kr, ki = _kernel_spectra_3d(kernel.astype(jnp.float32), h, nbh)
+    mats = [jnp.asarray(m) for m in _mats_3d(h, vh)]
 
     call = _fused3d_call(
-        b, cin, cout, d_pad, h, w, kd, nbh, vdp, vh,
+        b, cin, cout, h, nbh, pages, vdp, vh, me, mr,
         _PRECISION_3D, _is_cpu(),
     )
-    out = call(x5d, kr, ki, *mats)      # (B, Cout, VH, VDP, W)
-    out = out.transpose(0, 1, 3, 2, 4)  # -> (B, Cout, VDP, VH, W)
+    out = call(x, kr, ki, *mats)        # (B, Cout, VH, VDP, 128)
+    # unpack lanes -> D pages, crop to the valid output box
+    out = out.reshape(b, cout, vh, vdp, 2, _TW)
+    out = jnp.transpose(out, (0, 1, 3, 4, 2, 5))
+    out = out.reshape(b, cout, 2 * vdp, vh, _TW)
     return out[:, :, :od, :oh, :ow]
 
 

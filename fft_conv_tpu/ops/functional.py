@@ -234,9 +234,11 @@ def fft_conv(
     if impl in ("auto", "fused"):
         # padding modes are applied in the wrapper before the kernel runs,
         # so every supported mode is fused-eligible
-        eligible = n in (1, 2)
+        eligible = n in (1, 2) or (n == 3 and groups == 1)
         if impl == "fused" and not eligible:
-            raise ValueError("impl='fused' requires 1D or 2D input")
+            raise ValueError(
+                "impl='fused' requires 1D/2D input, or 3D with groups=1"
+            )
         # auto: the fused kernel's per-block FFT work only pays off once the
         # kernel is large enough to be in FFT-conv territory at all
         if impl == "auto" and math.prod(kernel.shape[2:]) < 64:
@@ -283,6 +285,29 @@ def fft_conv(
             if impl == "fused":
                 raise ValueError(
                     "no fused 2D FFT configuration fits this shape"
+                )
+        if eligible and n == 3 and (impl == "fused" or _on_tpu()):
+            from ..kernels.fused3d import fft_conv3d_fused, plan_3d
+
+            k_dil = [
+                dilated_size(k, dd)
+                for k, dd in zip(kernel.shape[2:], dilation_)
+            ]
+            padded = [
+                s + 2 * p for s, p in zip(signal.shape[2:], padding_)
+            ]
+            if plan_3d(
+                signal.shape[1], kernel.shape[0], padded[0], padded[1],
+                padded[2], k_dil[0], k_dil[1], k_dil[2],
+            ) is not None:
+                return fft_conv3d_fused(
+                    signal, kernel, bias, padding=padding_,
+                    padding_mode=padding_mode, stride=stride_,
+                    dilation=dilation_,
+                )
+            if impl == "fused":
+                raise ValueError(
+                    "no fused 3D FFT configuration fits this shape"
                 )
 
     use_tiled = impl == "tiled" or (
@@ -428,32 +453,37 @@ def fft_conv_transpose(
     if impl not in ("auto", "xla", "fused", "tiled"):
         raise ValueError(f"unknown impl: {impl!r}")
     if impl in ("auto", "fused"):
-        eligible = (
-            n in (1, 2)
-            and stride_ == (1,) * n
-            and dilation_ == (1,) * n
-            and groups == 1
-            and output_padding_ == (0,) * n
-        )
+        # the fused transposed path interior-stuffs the signal in its
+        # wrapper, so any stride/dilation/groups/output_padding qualifies
+        eligible = n in (1, 2)
         if impl == "fused" and not eligible:
-            raise ValueError(
-                "impl='fused' requires 1D/2D, stride=1, dilation=1, "
-                "groups=1, output_padding=0"
+            raise ValueError("impl='fused' requires 1D or 2D input")
+        k_dil = tuple(
+            dilated_size(k, dd) for k, dd in zip(kernel.shape[2:], dilation_)
+        )
+        # the internal full correlation runs on the stuffed signal:
+        # (s-1)*stride + 1, padded k_dil-1 per side (+ output_padding)
+        full_spatial = tuple(
+            (s - 1) * t + 1 + 2 * (kd - 1) + op
+            for s, t, kd, op in zip(
+                signal.shape[2:], stride_, k_dil, output_padding_
             )
+        )
+        cout_total = kernel.shape[1] * groups
         if eligible and n == 1 and (impl == "fused" or _on_tpu()):
             from ..kernels.fused1d import (
                 choose_fft_size,
                 fft_conv_transpose1d_fused,
             )
 
-            k = kernel.shape[-1]
-            l_full = signal.shape[-1] + 2 * (k - 1)
             if choose_fft_size(
-                k, l_full, signal.shape[1], kernel.shape[1],
-                batch=signal.shape[0],
+                k_dil[0], full_spatial[0], signal.shape[1] // groups,
+                cout_total, batch=signal.shape[0],
             ) is not None:
                 return fft_conv_transpose1d_fused(
-                    signal, kernel, bias, padding=padding_[0]
+                    signal, kernel, bias, padding=padding_[0],
+                    stride=stride_[0], dilation=dilation_[0], groups=groups,
+                    output_padding=output_padding_[0],
                 )
             if impl == "fused":
                 raise ValueError("no fused FFT configuration fits this shape")
@@ -463,17 +493,14 @@ def fft_conv_transpose(
                 fused2d_fits,
             )
 
-            # the internal full correlation runs on the (K-1)-padded signal
-            k1, k2 = kernel.shape[2:]
-            full_hw = (
-                signal.shape[2] + 2 * (k1 - 1),
-                signal.shape[3] + 2 * (k2 - 1),
-            )
             if fused2d_fits(
-                k1, k2, signal.shape[1], kernel.shape[1], full_hw
+                k_dil[0], k_dil[1], signal.shape[1] // groups, cout_total,
+                full_spatial, cin_total=signal.shape[1],
             ):
                 return fft_conv_transpose2d_fused(
-                    signal, kernel, bias, padding=padding_
+                    signal, kernel, bias, padding=padding_, stride=stride_,
+                    dilation=dilation_, groups=groups,
+                    output_padding=output_padding_,
                 )
             if impl == "fused":
                 raise ValueError("no fused 2D FFT configuration fits this shape")

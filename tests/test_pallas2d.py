@@ -188,3 +188,26 @@ def test_plan_fft_conv2d_wide_image_rejected():
     assert not fused2d_fits(16, 16, 8, 8, (256, 65536))
     with pytest.raises(ValueError):
         plan_fft_conv2d(w, signal_hw=(256, 65536))
+
+
+@pytest.mark.parametrize("stride,dilation,groups,op", [
+    ((2, 2), 1, 1, (1, 0)), ((2, 3), 2, 1, (1, 2)), ((2, 2), 1, 2, 0),
+])
+def test_fused2d_transpose_full_surface(stride, dilation, groups, op):
+    """Widened fused 2D transposed conv matches torch conv_transpose2d
+    (VERDICT r2 item 4)."""
+    rng = np.random.default_rng(42)
+    cin, cout_g = 4, 2
+    sig = rng.standard_normal((1, cin, 60, 70)).astype(np.float32)
+    w = rng.standard_normal((cin, cout_g, 9, 11)).astype(np.float32)
+    b = rng.standard_normal((cout_g * groups,)).astype(np.float32)
+    y = fft_conv_transpose2d_fused(
+        jnp.asarray(sig), jnp.asarray(w), jnp.asarray(b), padding=(2, 3),
+        stride=stride, dilation=dilation, groups=groups, output_padding=op,
+    )
+    y_ref = TF.conv_transpose2d(
+        torch.tensor(sig), torch.tensor(w), torch.tensor(b), padding=(2, 3),
+        stride=stride, dilation=dilation, groups=groups, output_padding=op,
+    ).numpy()
+    assert y.shape == y_ref.shape
+    _assert_close_scaled(y, y_ref)
