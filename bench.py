@@ -140,11 +140,13 @@ def main():
                 else:
                     print(f"# no composed reference for {config_name}; "
                           f"parity gate skipped for {name}", file=sys.stderr)
-                # best-of-2 full measurements: single-run row noise through
-                # the tunnel is ~±15%, enough to flip borderline rows
+                # best-of-2 full measurements at min_work_s=0.2 (the
+                # differential loop runs >=0.2 s of device work, so
+                # sub-ms rows like 1D K=256 time to convergence rather
+                # than flapping ±15% on tunnel jitter)
                 t = min(
                     benchmark_fori(fn, sig, ker, bias, num_iterations=iters,
-                                   min_work_s=0.05).mean
+                                   min_work_s=0.2).mean
                     for _ in range(2)
                 )
             except AssertionError:
@@ -162,14 +164,14 @@ def main():
             # as the last resort so one bad path can't sink the benchmark
             t_fft = benchmark_fori(
                 paths["composed"], sig, ker, bias, num_iterations=iters,
-                min_work_s=0.05,
+                min_work_s=0.2,
             ).mean
             best = "composed"
 
         direct_fn = direct_conv_fn(ndim)
         t_direct = min(
             benchmark_fori(direct_fn, sig, ker, bias, num_iterations=iters,
-                           min_work_s=0.05).mean
+                           min_work_s=0.2).mean
             for _ in range(2)
         )
         speedups.append(t_direct / t_fft)

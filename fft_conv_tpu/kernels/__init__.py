@@ -13,7 +13,7 @@ from .fused2d import (
     set_fused2d_precision,
     tile_plan_2d,
 )
-from .fused3d import fft_conv3d_fused, plan_3d
+from .fused3d import fft_conv3d_fused, plan_3d, set_fused3d_precision
 
 __all__ = [
     "fft_conv1d_fused",
@@ -23,6 +23,7 @@ __all__ = [
     "fft_conv_transpose2d_fused",
     "tile_plan_2d",
     "plan_3d",
+    "set_fused3d_precision",
     "set_fused2d_precision",
     "plan_fft_conv1d",
     "plan_fft_conv2d",

@@ -109,12 +109,14 @@ def plan_3d(cin: int, cout: int, d: int, h: int, w: int,
     if cout * taps * cin * nbh * 128 * 8 > _KER_VMEM_BUDGET:
         return None
     vd = d - kd + 1
-    # VDP (MAC slice length, sublane dim) and the page count must be whole
-    # 8-row tiles: Mosaic's leading/minor-dim collapses are layout-free
-    # only for whole (8, 128) tiles — otherwise it unrolls one matmul per
-    # page and the compile explodes (v1 lesson, >400 s observed)
+    # VDP (MAC block span, sublane dim), the MAC window and the page count
+    # must be whole 8-row tiles: Mosaic's leading/minor-dim collapses are
+    # layout-free only for whole (8, 128) tiles — otherwise it unrolls one
+    # matmul per page and the compile explodes (v1 lesson, >400 s observed)
     vdp = -(-(-(-vd // 2)) // 8) * 8
-    pages = -(-(max(me - 1, mr - 1 if mr else 0) + vdp) // 8) * 8
+    maxoff = max(me - 1, mr - 1 if mr else 0)
+    wrows = -(-(8 + maxoff) // 8) * 8
+    pages = vdp - 8 + wrows
     vh = h - kh + 1
     # x scratch + 4 spectra refs (S/R re+im) + 2 acc refs + out block, f32
     cell = (
@@ -194,8 +196,9 @@ def _kernel_spectra_3d(kernel: jax.Array, h: int, nbh: int):
             lo = jnp.concatenate([odd, zero], axis=2)    # m' < MO
             hi = jnp.concatenate([zero, odd], axis=2)    # m' >= 1
             parts.append(jnp.concatenate([lo, hi], axis=-1))
-        # (O, C, T, NBH, 128) -> (O, T, C, NBH, 128) for per-(o, t) slices
-        return jnp.transpose(jnp.concatenate(parts, axis=2), (0, 2, 1, 3, 4))
+        # (O, C, T, NBH, 128) -> (NBH, C, T, O, 128): the kernel's MAC
+        # reads one contiguous (C, T, O, 128) block per NBH row
+        return jnp.transpose(jnp.concatenate(parts, axis=2), (3, 1, 2, 0, 4))
 
     return pack(br), pack(bi)
 
@@ -212,6 +215,8 @@ def _make_kernel_3d(cin, cout, h, nbh, pages, vdp, vh, me, mr, precision):
     middle contractions unroll per page; per-kernel unrolled statement
     counts stay in the low hundreds via fori_loops with dynamic ref
     slices for the tap MAC."""
+    maxoff = max(me - 1, mr - 1 if mr else 0)
+    wrows = -(-(8 + maxoff) // 8) * 8
 
     def body(
         x_hbm, kr_ref, ki_ref,
@@ -252,34 +257,46 @@ def _make_kernel_3d(cin, cout, h, nbh, pages, vdp, vh, me, mr, precision):
                 rr_s[c] = pltpu.roll(sr, _TW, axis=2)
                 ri_s[c] = pltpu.roll(si, _TW, axis=2)
 
-        # D-tap MAC (VPU): taps OUTER, out-channels inner, accumulators in
-        # scratch refs — the dynamic sublane-offset spectra slice (the
-        # expensive part: Mosaic realigns the whole (Cin, NBH, VDP, 128)
-        # block per read) happens once per tap instead of once per
-        # (out-channel, tap) — measured 95 -> ~35 us/tap on v5e.
-        ar_s[...] = jnp.zeros((cout, nbh, vdp, 128), jnp.float32)
-        ai_s[...] = jnp.zeros((cout, nbh, vdp, 128), jnp.float32)
+        # D-tap MAC (VPU), register-blocked: walk the spectra in
+        # (NBH-row, 8-page) blocks. Per block, one aligned window read of
+        # each source covers every tap offset (static sub-slices), all
+        # (tap, out-channel) products run on ~32 KB operands, and each
+        # accumulator cell is written exactly once (no RMW). The previous
+        # whole-plane MAC re-read the (Cin, NBH, VDP, 128) spectra block
+        # once per (out-channel, tap) and was VMEM-bandwidth-bound
+        # (~0.85 ms of the 1.14 ms kernel at the 64^3 benchmark).
+        nv8 = vdp // 8
 
-        def mac_tap(t, src_r, src_i, koff):
-            xr = src_r[:, :, pl.dslice(t, vdp), :]   # (Cin, NBH, VDP, 128)
-            xi = src_i[:, :, pl.dslice(t, vdp), :]
+        def mac_block(idx, carry):
+            n = idx // nv8
+            v8 = (idx % nv8) * 8
+            xw_sr = sr_s[:, n, pl.dslice(v8, wrows), :]  # (Cin, wrows, 128)
+            xw_si = si_s[:, n, pl.dslice(v8, wrows), :]
+            if mr:
+                xw_rr = rr_s[:, n, pl.dslice(v8, wrows), :]
+                xw_ri = ri_s[:, n, pl.dslice(v8, wrows), :]
+            kn_r = kr_ref[n]                    # (Cin, T, Cout, 128)
+            kn_i = ki_ref[n]
             for o in range(cout):
-                kro = kr_ref[o, koff + t][:, :, None, :]
-                kio = ki_ref[o, koff + t][:, :, None, :]
-                # jnp.sum over the leading channel dim measured faster on
-                # v5e than an explicit per-channel accumulation chain
-                # (1.14 vs 1.29 ms whole-kernel)
-                ar_s[o] += jnp.sum(xr * kro - xi * kio, axis=0)
-                ai_s[o] += jnp.sum(xr * kio + xi * kro, axis=0)
-            return 0
+                yr = yi = None
+                for t in range(me + mr):
+                    if t < me:
+                        xr = xw_sr[:, t:t + 8, :]
+                        xi = xw_si[:, t:t + 8, :]
+                    else:
+                        xr = xw_rr[:, t - me:t - me + 8, :]
+                        xi = xw_ri[:, t - me:t - me + 8, :]
+                    kro = kn_r[:, t, o][:, None, :]   # (Cin, 1, 128)
+                    kio = kn_i[:, t, o][:, None, :]
+                    tr = jnp.sum(xr * kro - xi * kio, axis=0)
+                    ti = jnp.sum(xr * kio + xi * kro, axis=0)
+                    yr = tr if yr is None else yr + tr
+                    yi = ti if yi is None else yi + ti
+                ar_s[o, n, pl.dslice(v8, 8), :] = yr
+                ai_s[o, n, pl.dslice(v8, 8), :] = yi
+            return carry
 
-        jax.lax.fori_loop(
-            0, me, lambda t, c: mac_tap(t, sr_s, si_s, 0), 0
-        )
-        if mr:
-            jax.lax.fori_loop(
-                0, mr, lambda t, c: mac_tap(t, rr_s, ri_s, me), 0
-            )
+        jax.lax.fori_loop(0, nbh * nv8, mac_block, 0)
 
         # inverse transforms per out-channel: W (minor) then H (leading)
         def per_out(o, carry):
@@ -318,11 +335,11 @@ def _fused3d_call(b, cin, cout, h, nbh, pages, vdp, vh, me, mr, precision,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # x (B, Cin, H, P, 128) HBM
             pl.BlockSpec(
-                (cout, taps, cin, nbh, 128), lambda b_: (0, 0, 0, 0, 0),
+                (nbh, cin, taps, cout, 128), lambda b_: (0, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (cout, taps, cin, nbh, 128), lambda b_: (0, 0, 0, 0, 0),
+                (nbh, cin, taps, cout, 128), lambda b_: (0, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ] + [mat_spec() for _ in range(8)],
