@@ -1,7 +1,26 @@
-"""Fused 3D FFT convolution — Pallas TPU whole-volume kernel, v2.
+"""Fused 3D FFT convolution — Pallas TPU whole-volume kernels.
 
-v1 (round 2) ran the whole pipeline in VMEM but lost to the composed path
-(2.31 vs 2.08 ms at the reference benchmark shape 64^3 K=8^3, reference
+Two kernel generations ship here; ``plan_3d`` picks per shape:
+
+v4 "overlap-save-D" (KD <= 9, the primary path): transforms ALL three
+axes so the MAC is a pointwise frequency product (contraction over Cin
+only) instead of v2/v3's KD-tap time-domain MAC — ~KD x fewer VPU flops
+(the measured bottleneck: 0.54 of the 0.93 ms v3 kernel at the 64^3
+benchmark). The D axis is cut into length-16 blocks on an 8-sample hop
+(blocks start at even d so the d-pair lane packing below survives); each
+block's DFT-16 is one windowed MXU matmul over d-pair pages (the E/O
+radix-2 halves coming out in the two lane halves simultaneously) plus a
+packed butterfly (lane roll + select + per-page twiddle), with the 16
+bins stored as 8 page-rows x 2 lane halves — full-lane occupancy
+throughout. Layout bridges between the H-leading and D-leading matmul
+stages are Mosaic page<->sublane transposes (measured near-free on v5e).
+Kernel spectra sampled at the 16 D-bins cost 16/KD x the tap-domain
+storage — (8, Cin, Cout, NBHP, 128) x2 stays inside the VMEM budget.
+
+v2/v3 "tap" (9 < KD, fallback): D stays in the tap domain; a
+register-blocked VPU MAC walks (NBH-row, 8-page) blocks. History: v1
+(round 2) lost to the composed path (2.31 vs 2.08 ms at the reference
+benchmark shape 64^3 K=8^3, reference
 doc/scripts/generate_benchmark_plot.py:149-158) for three measured
 reasons: the W axis was zero-padded 64 -> 128 lanes (2x wasted flops and
 VPU lanes), the one-sided H matmuls ran at M=33 of 128 rows against a
@@ -83,6 +102,7 @@ def set_fused3d_precision(mode: str) -> None:
     if mode != _PRECISION_3D:
         _PRECISION_3D = mode
         _fused3d_call.cache_clear()
+        _fused3d_call_v4.cache_clear()
 
 
 def _tap_counts(kd: int) -> Tuple[int, int]:
@@ -97,12 +117,55 @@ def _tap_counts(kd: int) -> Tuple[int, int]:
 
 def plan_3d(cin: int, cout: int, d: int, h: int, w: int,
             kd: int, kh: int, kw: int):
-    """(NBH, VDP, pages) plan or None when the fused 3D kernel doesn't fit.
+    """Mode-tagged fused-3D plan, or None when nothing fits.
 
-    Eligibility: W fits one lane half, kernel spectra and per-cell volume
-    scratch inside their VMEM budgets, groups handled by caller."""
+    ('v4', nbh, nbhp, pp, nbd, vdp) — overlap-save-D kernel (kd <= 9):
+    blocked DFT-16 along D turns the tap MAC into a pointwise frequency
+    MAC (~KD x fewer VPU flops). ('tap', nbh, vdp, pages) — the v3
+    tap-domain MAC kernel, kept for larger KD. Eligibility: W fits one
+    lane half, kernel spectra and per-cell scratch inside their VMEM
+    budgets, groups handled by the caller."""
     if w > _TW or kd > d or kh > h or kw > w:
         return None
+    v4 = _plan_v4(cin, cout, d, h, w, kd, kh, kw)
+    if v4 is not None:
+        return v4
+    return _plan_tap(cin, cout, d, h, w, kd, kh, kw)
+
+
+def _plan_v4(cin: int, cout: int, d: int, h: int, w: int,
+             kd: int, kh: int, kw: int):
+    """Overlap-save-D plan: D is cut into length-16 blocks on an 8-sample
+    hop (blocks start at even d, so the d-pair lane packing survives);
+    each block is DFT-16'd by one windowed MXU matmul plus a packed
+    radix-2 butterfly (16 bins live in 8 page-rows x 2 lane halves)."""
+    if kd > 9:
+        return None  # hop = 16 - kd + 1 floored to 8 needs kd <= 9
+    if cin * cout > 128:
+        return None  # MAC unrolls cout*cin statements per fori body
+    nbh = h // 2 + 1
+    nbhp = -(-nbh // 8) * 8
+    vd = d - kd + 1
+    nbd = -(-vd // 8)
+    pp = -(-(4 * (nbd - 1) + 8) // 8) * 8
+    r = 8 * nbd
+    vdp = -(-(4 * nbd) // 8) * 8
+    vh = h - kh + 1
+    if 8 * cin * cout * nbhp * 128 * 8 > _KER_VMEM_BUDGET:
+        return None
+    cell = (
+        2 * h * pp                      # x DMA staging (double-buffered)
+        + 2 * pp * nbhp                 # transposed spectra staging
+        + 2 * (cin + cout) * r * nbhp   # XD + Y (re/im)
+        + cout * vh * vdp               # out block
+    ) * 128 * 4
+    if cell > _VOL_VMEM_BUDGET:
+        return None
+    return ("v4", nbh, nbhp, pp, nbd, vdp)
+
+
+def _plan_tap(cin: int, cout: int, d: int, h: int, w: int,
+              kd: int, kh: int, kw: int):
     nbh = h // 2 + 1
     me, mr = _tap_counts(kd)
     taps = me + mr
@@ -127,7 +190,7 @@ def plan_3d(cin: int, cout: int, d: int, h: int, w: int,
     ) * 4
     if cell > _VOL_VMEM_BUDGET:
         return None
-    return nbh, vdp, pages
+    return ("tap", nbh, vdp, pages)
 
 
 @lru_cache(maxsize=None)
@@ -201,6 +264,323 @@ def _kernel_spectra_3d(kernel: jax.Array, h: int, nbh: int):
         return jnp.transpose(jnp.concatenate(parts, axis=2), (3, 1, 2, 0, 4))
 
     return pack(br), pack(bi)
+
+
+@lru_cache(maxsize=None)
+def _mats_v4(h: int, vh: int, nbd: int, pp: int):
+    """Split-f32 factor matrices for the overlap-save-D kernel:
+
+      frm/fim  (NBHP, H)   one-sided H rfft, zero rows above NBH
+      bwr/bwi  (128, 128)  block-diagonal W fwd DFT (diag(F64, F64))
+      bur/bui  (128, 128)  block-diagonal W inverse
+      crm/cim  (VH, NBH)   H irfft rows
+      wdr/wdi  (R, PP)     windowed block DFT-8 over d-pairs: row
+                           (f8*NBD + j) reads pages [4j, 4j+8) with
+                           w8^{p'f8} — the E/O halves of the block's
+                           DFT-16 land in the two lane halves at once
+      twfr/twfi (R,1,128)  fwd butterfly twiddle +-w16^{f8} (lane-signed)
+      twvr/twvi (R,1,128)  inverse combine twiddle +-w16^{-f8}
+      widr/widi (VDP, R)   block IDFT-8 rows (j,q) -> d-pair 4j+q, /16
+    """
+    r_ = 8 * nbd
+    vdp = -(-(4 * nbd) // 8) * 8
+    nbh = h // 2 + 1
+    nbhp = -(-nbh // 8) * 8
+    fr, fi = _rfft_mats(h)             # (H, NBH)
+    frm = np.zeros((nbhp, h), np.float32)
+    fim = np.zeros((nbhp, h), np.float32)
+    frm[:nbh] = fr.T
+    fim[:nbh] = fi.T
+    wr, wi = _dft_mats(_TW, inverse=False)
+    ur, ui = _dft_mats(_TW, inverse=True)
+    cr, ci = _irfft_mats(h)            # (NBH, H)
+
+    def blkdiag(m):
+        out = np.zeros((2 * _TW, 2 * _TW), m.dtype)
+        out[:_TW, :_TW] = m
+        out[_TW:, _TW:] = m
+        return out
+
+    wd = np.zeros((r_, pp), np.complex128)
+    for f8 in range(8):
+        for j in range(nbd):
+            ps = np.arange(8)
+            wd[f8 * nbd + j, 4 * j:4 * j + 8] = np.exp(
+                -2j * np.pi * ps * f8 / 8)
+    lane = np.arange(128)
+    sgn = np.where(lane < _TW, 1.0, -1.0)
+    f8r = (np.arange(r_) // nbd)[:, None]
+    twf = sgn[None] * np.exp(-2j * np.pi * f8r / 16)
+    twv = sgn[None] * np.exp(2j * np.pi * f8r / 16)
+    wid = np.zeros((vdp, r_), np.complex128)
+    for j in range(nbd):
+        for q in range(4):
+            f8s = np.arange(8)
+            wid[4 * j + q, f8s * nbd + j] = np.exp(
+                2j * np.pi * q * f8s / 8) / 16
+    out = (
+        frm, fim,
+        blkdiag(wr), blkdiag(wi),
+        blkdiag(ur), blkdiag(ui),
+        np.ascontiguousarray(cr.T[:vh]), np.ascontiguousarray(ci.T[:vh]),
+        wd.real, wd.imag,
+        twf.real[:, None, :], twf.imag[:, None, :],
+        twv.real[:, None, :], twv.imag[:, None, :],
+        wid.real, wid.imag,
+    )
+    return tuple(np.ascontiguousarray(m, np.float32) for m in out)
+
+
+def _kernel_spectra_v4(kernel: jax.Array, h: int, nbh: int, nbhp: int):
+    """conj(DFT16_d(rfft_h(DFT64_w(kernel)))) in the kernel's MAC layout
+    (8, Cin, Cout, NBHP, 128), lanes (fd-high-bit, w-bin), split re/im.
+    Every einsum writes the final dim order — no big-array transposes
+    (the v3 spectra pack's (O,C,T,NBH,128) transpose was ~0.1 ms)."""
+    cout, cin, kd, kh, kw = kernel.shape
+    hp = lax.Precision.HIGHEST
+    fr, fi = _rfft_mats(h)
+    fr = jnp.asarray(fr[:kh].T, jnp.float32)   # (NBH, KH)
+    fi = jnp.asarray(fi[:kh].T, jnp.float32)
+    wr, wi = _dft_mats(_TW, inverse=False)
+    wr_s = jnp.asarray(wr[:kw], jnp.float32)   # (KW, TW)
+    wi_s = jnp.asarray(wi[:kw], jnp.float32)
+    k = kernel.astype(jnp.float32)
+    ar = jnp.einsum("nk,ocdkw->ocdnw", fr, k, precision=hp)
+    ai = jnp.einsum("nk,ocdkw->ocdnw", fi, k, precision=hp)
+    br = (
+        jnp.einsum("ocdnw,wz->ocdnz", ar, wr_s, precision=hp)
+        - jnp.einsum("ocdnw,wz->ocdnz", ai, wi_s, precision=hp)
+    )
+    bi = (
+        jnp.einsum("ocdnw,wz->ocdnz", ar, wi_s, precision=hp)
+        + jnp.einsum("ocdnw,wz->ocdnz", ai, wr_s, precision=hp)
+    )
+    ds = np.arange(kd)[:, None, None]
+    fd = (np.arange(8)[None, :, None] + 8 * np.arange(2)[None, None, :])
+    dm = np.exp(-2j * np.pi * ds * fd / 16)
+    dmr = jnp.asarray(dm.real, jnp.float32)    # (KD, 8, 2)
+    dmi = jnp.asarray(dm.imag, jnp.float32)
+    kr = (
+        jnp.einsum("ocdnz,dfs->fconsz", br, dmr, precision=hp)
+        - jnp.einsum("ocdnz,dfs->fconsz", bi, dmi, precision=hp)
+    )
+    ki = (
+        jnp.einsum("ocdnz,dfs->fconsz", br, dmi, precision=hp)
+        + jnp.einsum("ocdnz,dfs->fconsz", bi, dmr, precision=hp)
+    )
+    ki = -ki  # conjugate: cross-correlation
+    kr = kr.reshape(8, cin, cout, nbh, 128)
+    ki = ki.reshape(8, cin, cout, nbh, 128)
+    pad = ((0, 0), (0, 0), (0, 0), (0, nbhp - nbh), (0, 0))
+    return jnp.pad(kr, pad), jnp.pad(ki, pad)
+
+
+def _make_kernel_v4(cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh, precision):
+    """Overlap-save-D kernel body. Logical shapes:
+      x        (Cin, H, PP, 128)  packed d-pair lanes (from HBM, staged
+                                  per channel with a double-buffered DMA)
+      kr/ki    (8, Cin, Cout, NBHP, 128)
+      out_ref  (1, Cout, VH, VDP, 128)
+
+    Pipeline per channel: H one-sided rfft (leading matmul) -> W
+    block-diag DFT (minor) -> page/sublane transpose (near-free in
+    Mosaic, measured ~PB/s) -> windowed block DFT-8 over d-pairs
+    (leading matmul) -> packed radix-2 butterfly (roll + lane select +
+    twiddle) -> XD. MAC: pointwise complex multiply-accumulate over Cin
+    per (f8, fh-chunk), j-blocks vectorized, each Y cell written once.
+    Inverse per out-channel: butterfly combine -> block IDFT-8 (leading)
+    -> W inverse (minor) -> transpose -> H irfft rows (leading)."""
+    r_ = 8 * nbd
+    nch = nbhp // 8
+
+    def body(
+        x_hbm, kr_ref, ki_ref,
+        frm, fim, bwr, bwi, bur, bui, crm, cim,
+        wdr, wdi, twfr, twfi, twvr, twvi, widr, widi,
+        out_ref, x_stage, str_s, sti_s, xdr_s, xdi_s, yr_s, yi_s, dma_sem,
+    ):
+        b = pl.program_id(0)
+        dn_lead = (((1,), (0,)), ((), ()))  # (M, K) x (K, P, 128)
+        dn_min3 = (((2,), (0,)), ((), ()))  # (A, B, 128) x (128, 128)
+        fr_, fi_ = frm[...], fim[...]
+        bwr_, bwi_ = bwr[...], bwi[...]
+        bur_, bui_ = bur[...], bui[...]
+        cr_, ci_ = crm[...], cim[...]
+        wdr_, wdi_ = wdr[...], wdi[...]
+        twfr_, twfi_ = twfr[...], twfi[...]
+        twvr_, twvi_ = twvr[...], twvi[...]
+        widr_, widi_ = widr[...], widi[...]
+        lmask = lax.broadcasted_iota(jnp.int32, (r_, nbhp, 128), 2) < _TW
+
+        def copy_in(c, slot):
+            return pltpu.make_async_copy(
+                x_hbm.at[b, c], x_stage.at[slot], dma_sem.at[slot])
+
+        copy_in(0, 0).start()
+
+        def fwd_channel(c, carry):
+            @pl.when(c + 1 < cin)
+            def _():
+                copy_in(c + 1, (c + 1) % 2).start()
+
+            copy_in(c, c % 2).wait()
+            xc = x_stage[c % 2]                      # (H, PP, 128)
+            hr = _dot(fr_, xc, dn_lead, precision)   # (NBHP, PP, 128)
+            hi = _dot(fi_, xc, dn_lead, precision)
+            sr = (
+                _dot(hr, bwr_, dn_min3, precision)
+                - _dot(hi, bwi_, dn_min3, precision)
+            )
+            si = (
+                _dot(hr, bwi_, dn_min3, precision)
+                + _dot(hi, bwr_, dn_min3, precision)
+            )
+            str_s[...] = jnp.swapaxes(sr, 0, 1)      # (PP, NBHP, 128)
+            sti_s[...] = jnp.swapaxes(si, 0, 1)
+            gr = (
+                _dot(wdr_, str_s[...], dn_lead, precision)
+                - _dot(wdi_, sti_s[...], dn_lead, precision)
+            )                                        # (R, NBHP, 128)
+            gi = (
+                _dot(wdr_, sti_s[...], dn_lead, precision)
+                + _dot(wdi_, str_s[...], dn_lead, precision)
+            )
+            rr = pltpu.roll(gr, _TW, axis=2)
+            ri = pltpu.roll(gi, _TW, axis=2)
+            er = jnp.where(lmask, gr, rr)
+            ei = jnp.where(lmask, gi, ri)
+            our = jnp.where(lmask, rr, gr)
+            oui = jnp.where(lmask, ri, gi)
+            xdr_s[c] = er + twfr_ * our - twfi_ * oui
+            xdi_s[c] = ei + twfr_ * oui + twfi_ * our
+            return carry
+
+        jax.lax.fori_loop(0, cin, fwd_channel, 0)
+
+        # pointwise frequency MAC: walk (f8, fh-chunk); j-blocks ride as
+        # a vector dim, kernel row f8 broadcasts across them; every Y
+        # cell is written exactly once (no RMW)
+        def mac_it(it, carry):
+            f8 = it // nch
+            ch = (it % nch) * 8
+            kr_blk = kr_ref[f8, :, :, pl.dslice(ch, 8), :]
+            ki_blk = ki_ref[f8, :, :, pl.dslice(ch, 8), :]
+            xr_blk = xdr_s[:, pl.dslice(f8 * nbd, nbd),
+                           pl.dslice(ch, 8), :]      # (Cin, NBD, 8, 128)
+            xi_blk = xdi_s[:, pl.dslice(f8 * nbd, nbd),
+                           pl.dslice(ch, 8), :]
+            for o in range(cout):
+                ar = ai = None
+                for c in range(cin):
+                    kro = kr_blk[c, o][None]         # (1, 8, 128)
+                    kio = ki_blk[c, o][None]
+                    tr = xr_blk[c] * kro - xi_blk[c] * kio
+                    ti = xr_blk[c] * kio + xi_blk[c] * kro
+                    ar = tr if ar is None else ar + tr
+                    ai = ti if ai is None else ai + ti
+                yr_s[o, pl.dslice(f8 * nbd, nbd), pl.dslice(ch, 8), :] = ar
+                yi_s[o, pl.dslice(f8 * nbd, nbd), pl.dslice(ch, 8), :] = ai
+            return carry
+
+        jax.lax.fori_loop(0, 8 * nch, mac_it, 0)
+
+        def per_out(o, carry):
+            yr = yr_s[o]                             # (R, NBHP, 128)
+            yi = yi_s[o]
+            rr = pltpu.roll(yr, _TW, axis=2)
+            ri = pltpu.roll(yi, _TW, axis=2)
+            ur = yr + rr
+            ui = yi + ri
+            dr = yr - rr
+            di = yi - ri
+            vr = dr * twvr_ - di * twvi_
+            vi = dr * twvi_ + di * twvr_
+            pr = jnp.where(lmask, ur, vr)
+            pi = jnp.where(lmask, ui, vi)
+            zr = (
+                _dot(widr_, pr, dn_lead, precision)
+                - _dot(widi_, pi, dn_lead, precision)
+            )                                        # (VDP, NBHP, 128)
+            zi = (
+                _dot(widr_, pi, dn_lead, precision)
+                + _dot(widi_, pr, dn_lead, precision)
+            )
+            er = (
+                _dot(zr, bur_, dn_min3, precision)
+                - _dot(zi, bui_, dn_min3, precision)
+            )
+            ei = (
+                _dot(zr, bui_, dn_min3, precision)
+                + _dot(zi, bur_, dn_min3, precision)
+            )
+            ert = jnp.swapaxes(er, 0, 1)             # (NBHP, VDP, 128)
+            eit = jnp.swapaxes(ei, 0, 1)
+            out = (
+                _dot(cr_, ert[:nbh], dn_lead, precision)
+                + _dot(ci_, eit[:nbh], dn_lead, precision)
+            )                                        # (VH, VDP, 128)
+            out_ref[0, o] = out
+            return carry
+
+        jax.lax.fori_loop(0, cout, per_out, 0)
+
+    return body
+
+
+@lru_cache(maxsize=None)
+def _fused3d_call_v4(b, cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh,
+                     precision, interpret):
+    if interpret and precision == "bf16x3":
+        precision = "bf16x3_exact"  # see fused1d._dot3
+    r_ = 8 * nbd
+    mat_spec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+    spec_block = lambda: pl.BlockSpec(  # noqa: E731
+        (8, cin, cout, nbhp, 128), lambda b_: (0, 0, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pl.GridSpec(
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # x (B, Cin, H, PP, 128)
+            spec_block(), spec_block(),
+        ] + [mat_spec() for _ in range(16)],
+        out_specs=pl.BlockSpec(
+            (1, cout, vh, vdp, 128), lambda b_: (b_, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, h, pp, 128), jnp.float32),      # x staging
+            pltpu.VMEM((pp, nbhp, 128), jnp.float32),      # S^T re
+            pltpu.VMEM((pp, nbhp, 128), jnp.float32),      # S^T im
+            pltpu.VMEM((cin, r_, nbhp, 128), jnp.float32),  # XD re
+            pltpu.VMEM((cin, r_, nbhp, 128), jnp.float32),  # XD im
+            pltpu.VMEM((cout, r_, nbhp, 128), jnp.float32),  # Y re
+            pltpu.VMEM((cout, r_, nbhp, 128), jnp.float32),  # Y im
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    flops = b * 2 * (
+        cin * (2 * nbhp * h + 4 * 128) * pp * 128            # H + W fwd
+        + (cin + cout) * 4 * r_ * pp * nbhp * 128 // pp      # D fwd/inv
+        + cout * cin * r_ * nbhp * 128 * 4                   # MAC (VPU)
+        + cout * (4 * 128 + 2 * vh * nbh / 128) * vdp * 128  # W/H inv
+    )
+    return pl.pallas_call(
+        _make_kernel_v4(cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh,
+                        precision),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, cout, vh, vdp, 128), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=int(flops),
+            bytes_accessed=(b * cin * h * pp + b * cout * vh * vdp)
+            * 128 * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
 
 
 def _make_kernel_3d(cin, cout, h, nbh, pages, vdp, vh, me, mr, precision):
@@ -397,8 +777,11 @@ def _fused3d_forward(x_padded, kernel, out_dhw):
     plan = plan_3d(cin, cout, d, h, w, kd, kh, kw)
     if plan is None:
         raise ValueError("no fused 3D configuration fits this shape")
-    nbh, vdp, pages = plan
-    me, mr = _tap_counts(kd)
+    if plan[0] == "v4":
+        _, nbh, nbhp, pages, nbd, vdp = plan
+    else:
+        _, nbh, vdp, pages = plan
+        me, mr = _tap_counts(kd)
     od, oh, ow = out_dhw
     vh = h - kh + 1
 
@@ -412,13 +795,21 @@ def _fused3d_forward(x_padded, kernel, out_dhw):
     x = jnp.transpose(x, (0, 1, 4, 2, 3, 5))
     x = x.reshape(b, cin, h, pages, 2 * _TW)
 
-    kr, ki = _kernel_spectra_3d(kernel.astype(jnp.float32), h, nbh)
-    mats = [jnp.asarray(m) for m in _mats_3d(h, vh)]
-
-    call = _fused3d_call(
-        b, cin, cout, h, nbh, pages, vdp, vh, me, mr,
-        _PRECISION_3D, _is_cpu(),
-    )
+    if plan[0] == "v4":
+        kr, ki = _kernel_spectra_v4(
+            kernel.astype(jnp.float32), h, nbh, nbhp)
+        mats = [jnp.asarray(m) for m in _mats_v4(h, vh, nbd, pages)]
+        call = _fused3d_call_v4(
+            b, cin, cout, h, nbh, nbhp, pages, nbd, vdp, vh,
+            _PRECISION_3D, _is_cpu(),
+        )
+    else:
+        kr, ki = _kernel_spectra_3d(kernel.astype(jnp.float32), h, nbh)
+        mats = [jnp.asarray(m) for m in _mats_3d(h, vh)]
+        call = _fused3d_call(
+            b, cin, cout, h, nbh, pages, vdp, vh, me, mr,
+            _PRECISION_3D, _is_cpu(),
+        )
     out = call(x, kr, ki, *mats)        # (B, Cout, VH, VDP, 128)
     # unpack lanes -> D pages, crop to the valid output box
     out = out.reshape(b, cout, vh, vdp, 2, _TW)

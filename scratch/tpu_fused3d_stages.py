@@ -41,11 +41,11 @@ def unpack(out):
 
 
 def spectra(ww):
-    return Z._kernel_spectra_3d(ww, H, nbh)
+    return Z._kernel_spectra_3d(ww, H, nbh)[0]
 
 
 xp = jax.jit(pack)(x)
-kr, ki = jax.jit(spectra)(w)
+kr, ki = jax.jit(lambda ww: Z._kernel_spectra_3d(ww, H, nbh))(w)
 mats = [jnp.asarray(m) for m in Z._mats_3d(H, vh)]
 call = Z._fused3d_call(B, CIN, COUT, H, nbh, pages, vdp, vh, me, mr,
                        Z._PRECISION_3D, False)

@@ -20,7 +20,15 @@ CONFIGS = [
     (2, 4, 4, 32, 32, 32, 4, 4, 4, 2),
     (1, 1, 1, 10, 14, 12, 2, 3, 5, 0),
     (1, 2, 2, 17, 19, 21, 5, 7, 3, 0),   # odd sizes
+    (1, 1, 2, 24, 16, 16, 9, 3, 3, 1),   # KD=9: v4 hop edge (hop == 8)
+    (1, 2, 2, 30, 16, 12, 11, 3, 3, 0),  # KD=11: tap-domain fallback path
+    (1, 2, 2, 40, 32, 32, 8, 5, 5, 0),   # benchmark-like, KD=8 v4
 ]
+
+
+def test_plan_3d_mode_selection():
+    assert plan_3d(2, 2, 30, 16, 12, 9, 3, 3)[0] == "v4"
+    assert plan_3d(2, 2, 30, 16, 12, 11, 3, 3)[0] == "tap"
 
 
 @pytest.mark.parametrize("b,cin,cout,d,h,w,kd,kh,kw,pad", CONFIGS)
