@@ -80,8 +80,10 @@ from .fused1d import _dot
 
 # resident kernel-spectra budget: Cout*T*Cin*NBH*128*8 bytes
 _KER_VMEM_BUDGET = 24 * 2**20
-# per-cell VMEM budget for the signal-side scratch (x + S/R spectra + out)
-_VOL_VMEM_BUDGET = 80 * 2**20
+# per-cell VMEM budget for the signal-side scratch (x + S/R spectra + out
+# + the largest live value); 96 + _KER_VMEM_BUDGET + ~8 MB chunk
+# temporaries fits the 128 MB vmem_limit
+_VOL_VMEM_BUDGET = 96 * 2**20
 
 # W-axis transform length: one lane HALF. Two D-slabs pack per 128-lane
 # tile, each transformed by its own F64 block of the block-diagonal matrix.
@@ -153,11 +155,15 @@ def _plan_v4(cin: int, cout: int, d: int, h: int, w: int,
     vh = h - kh + 1
     if 8 * cin * cout * nbhp * 128 * 8 > _KER_VMEM_BUDGET:
         return None
+    # static scratch (XD doubles as x staging, tr is shared fwd/inv) +
+    # the largest stacked live values (G / Z, ~2R x C*NBHP); chunked
+    # elementwise stages keep other temporaries to a few MB (slack)
     cell = (
-        2 * h * pp                      # x DMA staging (double-buffered)
-        + 2 * pp * nbhp                 # transposed spectra staging
-        + 2 * (cin + cout) * r * nbhp   # XD + Y (re/im)
-        + cout * vh * vdp               # out block
+        max(2 * pp, 2 * nbhp) * max(cin * nbhp, cout * vdp)    # tr
+        + max(2 * r, h) * max(cin * nbhp, cin * pp)            # XD / x
+        + 2 * r * cout * nbhp                                  # Y
+        + vh * cout * vdp                                      # out block
+        + 2 * r * max(cin, cout) * nbhp                        # live G / Z
     ) * 128 * 4
     if cell > _VOL_VMEM_BUDGET:
         return None
@@ -268,37 +274,53 @@ def _kernel_spectra_3d(kernel: jax.Array, h: int, nbh: int):
 
 @lru_cache(maxsize=None)
 def _mats_v4(h: int, vh: int, nbd: int, pp: int):
-    """Split-f32 factor matrices for the overlap-save-D kernel:
+    """Split-f32 factor matrices for the overlap-save-D kernel, stacked so
+    every transform is ONE real matmul over the full channel-batched width
+    (channels ride the page/sublane dim; re/im ride stacked rows):
 
-      frm/fim  (NBHP, H)   one-sided H rfft, zero rows above NBH
-      bwr/bwi  (128, 128)  block-diagonal W fwd DFT (diag(F64, F64))
-      bur/bui  (128, 128)  block-diagonal W inverse
-      crm/cim  (VH, NBH)   H irfft rows
-      wdr/wdi  (R, PP)     windowed block DFT-8 over d-pairs: row
-                           (f8*NBD + j) reads pages [4j, 4j+8) with
-                           w8^{p'f8} — the E/O halves of the block's
-                           DFT-16 land in the two lane halves at once
-      twfr/twfi (R,1,128)  fwd butterfly twiddle +-w16^{f8} (lane-signed)
-      twvr/twvi (R,1,128)  inverse combine twiddle +-w16^{-f8}
-      widr/widi (VDP, R)   block IDFT-8 rows (j,q) -> d-pair 4j+q, /16
+      f2       (2*NBHP, H)     [fr; fi] one-sided H rfft, zero rows >NBH
+      bwr/bwi  (128, 128)      block-diagonal W fwd DFT (diag(F64, F64))
+      bur/bui  (128, 128)      block-diagonal W inverse
+      g2       (2R, 2PP)       [[wd_r, -wd_i], [wd_i, wd_r]]: windowed
+                               block DFT-8 over d-pairs applied to the
+                               stacked [S_re; S_im] rows; row (f8*NBD+j)
+                               reads pages [4j, 4j+8) with w8^{p'f8} —
+                               the E/O halves of the block DFT-16 land in
+                               the two lane halves at once
+      twfr/twfi (R,1,128)      fwd butterfly twiddle +-w16^{f8}
+      twvr/twvi (R,1,128)      inverse combine twiddle +-w16^{-f8}
+      w2       (2*VDP, 2R)     [[wid_r, -wid_i], [wid_i, wid_r]]: block
+                               IDFT-8 rows (j,q) -> d-pair 4j+q, /16
+      cr2      (VH, 2*NBHP)    [cr | ci] H irfft rows, zero cols >NBH
     """
     r_ = 8 * nbd
     vdp = -(-(4 * nbd) // 8) * 8
     nbh = h // 2 + 1
     nbhp = -(-nbh // 8) * 8
     fr, fi = _rfft_mats(h)             # (H, NBH)
-    frm = np.zeros((nbhp, h), np.float32)
-    fim = np.zeros((nbhp, h), np.float32)
-    frm[:nbh] = fr.T
-    fim[:nbh] = fi.T
+    f2 = np.zeros((2 * nbhp, h), np.float32)
+    f2[:nbh] = fr.T
+    f2[nbhp:nbhp + nbh] = fi.T
     wr, wi = _dft_mats(_TW, inverse=False)
     ur, ui = _dft_mats(_TW, inverse=True)
     cr, ci = _irfft_mats(h)            # (NBH, H)
+    cr2 = np.zeros((vh, 2 * nbhp), np.float32)
+    cr2[:, :nbh] = cr.T[:vh]
+    cr2[:, nbhp:nbhp + nbh] = ci.T[:vh]
 
     def blkdiag(m):
         out = np.zeros((2 * _TW, 2 * _TW), m.dtype)
         out[:_TW, :_TW] = m
         out[_TW:, _TW:] = m
+        return out
+
+    def cstack(mr, mi):
+        m_, n_ = mr.shape
+        out = np.zeros((2 * m_, 2 * n_), np.float32)
+        out[:m_, :n_] = mr
+        out[:m_, n_:] = -mi
+        out[m_:, :n_] = mi
+        out[m_:, n_:] = mr
         return out
 
     wd = np.zeros((r_, pp), np.complex128)
@@ -319,143 +341,181 @@ def _mats_v4(h: int, vh: int, nbd: int, pp: int):
             wid[4 * j + q, f8s * nbd + j] = np.exp(
                 2j * np.pi * q * f8s / 8) / 16
     out = (
-        frm, fim,
+        f2,
         blkdiag(wr), blkdiag(wi),
         blkdiag(ur), blkdiag(ui),
-        np.ascontiguousarray(cr.T[:vh]), np.ascontiguousarray(ci.T[:vh]),
-        wd.real, wd.imag,
+        cstack(wd.real, wd.imag),
         twf.real[:, None, :], twf.imag[:, None, :],
         twv.real[:, None, :], twv.imag[:, None, :],
-        wid.real, wid.imag,
+        cstack(wid.real, wid.imag),
+        cr2,
     )
     return tuple(np.ascontiguousarray(m, np.float32) for m in out)
+
+
+@lru_cache(maxsize=None)
+def _spectra_hw_mat_v4(h: int, kh: int, kw: int, nbhp: int):
+    """Joint H(one-sided rfft) x W(DFT-64) spectra factor for the v4
+    kernel spectra, laid out (KH*KW, NBHP*TW) split re/im with zero rows
+    for the NBH->NBHP pad: M[(k,w), (n,z)] = F[k,n] * W[w,z]."""
+    nbh = h // 2 + 1
+    fr, fi = _rfft_mats(h)                     # (H, NBH)
+    wr, wi = _dft_mats(_TW, inverse=False)     # (TW, TW) [w, z]
+    fc = (fr + 1j * fi)[:kh]                   # (KH, NBH)
+    wc = (wr + 1j * wi)[:kw]                   # (KW, TW)
+    m = np.zeros((kh * kw, nbhp, _TW), np.complex128)
+    m[:, :nbh, :] = np.einsum("kn,wz->kwnz", fc, wc).reshape(
+        kh * kw, nbh, _TW)
+    m = m.reshape(kh * kw, nbhp * _TW)
+    return (np.ascontiguousarray(m.real, dtype=np.float32),
+            np.ascontiguousarray(m.imag, dtype=np.float32))
+
+
+@lru_cache(maxsize=None)
+def _spectra_dmat_v4(kd: int):
+    """Stacked-real D-transform factor for the kernel spectra: (16, 2*KD)
+    rows (ri, f8), conjugation folded in. The lane-half (fd = f8 + 8s)
+    dependence is NOT here — it rides the operand's lanes via the
+    (-1)^(d*s) sign mask from _spectra_dsign_v4."""
+    ds = np.arange(kd)[None, :]
+    f8 = np.arange(8)[:, None]
+    dm0 = np.exp(-2j * np.pi * ds * f8 / 16)         # (8, KD)
+    d2 = np.zeros((16, 2 * kd), np.float32)
+    d2[:8, :kd] = dm0.real
+    d2[:8, kd:] = -dm0.imag
+    d2[8:, :kd] = -dm0.imag      # conjugate: cross-correlation
+    d2[8:, kd:] = -dm0.real
+    return d2
+
+
+@lru_cache(maxsize=None)
+def _spectra_dsign_v4(kd: int):
+    """(2*KD, 1, 128) sign mask: lanes >= TW (the fd high-bit half) of
+    row d (and kd + d) carry (-1)^d."""
+    sgn = np.ones((2 * kd, 1, 128), np.float32)
+    for d in range(kd):
+        if d % 2:
+            sgn[d, :, _TW:] = -1.0
+            sgn[kd + d, :, _TW:] = -1.0
+    return sgn
 
 
 def _kernel_spectra_v4(kernel: jax.Array, h: int, nbh: int, nbhp: int):
     """conj(DFT16_d(rfft_h(DFT64_w(kernel)))) in the kernel's MAC layout
     (8, Cin, Cout, NBHP, 128), lanes (fd-high-bit, w-bin), split re/im.
-    Every einsum writes the final dim order — no big-array transposes
-    (the v3 spectra pack's (O,C,T,NBH,128) transpose was ~0.1 ms)."""
+
+    All-matmul formulation: one joint H x W factor matrix applied to the
+    (KD*Cin*Cout, KH*KW) kernel matrix (2 real matmuls), a minor-dim
+    duplication putting the W spectrum in both lane halves, and one
+    stacked-real D matmul (16, 2*KD) whose operand's lane-half DFT-16
+    shift rides a (-1)^(d*s) sign mask — the MAC layout falls out of
+    pure reshapes: no big-array transposes anywhere."""
     cout, cin, kd, kh, kw = kernel.shape
     hp = lax.Precision.HIGHEST
-    fr, fi = _rfft_mats(h)
-    fr = jnp.asarray(fr[:kh].T, jnp.float32)   # (NBH, KH)
-    fi = jnp.asarray(fi[:kh].T, jnp.float32)
-    wr, wi = _dft_mats(_TW, inverse=False)
-    wr_s = jnp.asarray(wr[:kw], jnp.float32)   # (KW, TW)
-    wi_s = jnp.asarray(wi[:kw], jnp.float32)
-    k = kernel.astype(jnp.float32)
-    ar = jnp.einsum("nk,ocdkw->ocdnw", fr, k, precision=hp)
-    ai = jnp.einsum("nk,ocdkw->ocdnw", fi, k, precision=hp)
-    br = (
-        jnp.einsum("ocdnw,wz->ocdnz", ar, wr_s, precision=hp)
-        - jnp.einsum("ocdnw,wz->ocdnz", ai, wi_s, precision=hp)
-    )
-    bi = (
-        jnp.einsum("ocdnw,wz->ocdnz", ar, wi_s, precision=hp)
-        + jnp.einsum("ocdnw,wz->ocdnz", ai, wr_s, precision=hp)
-    )
-    ds = np.arange(kd)[:, None, None]
-    fd = (np.arange(8)[None, :, None] + 8 * np.arange(2)[None, None, :])
-    dm = np.exp(-2j * np.pi * ds * fd / 16)
-    dmr = jnp.asarray(dm.real, jnp.float32)    # (KD, 8, 2)
-    dmi = jnp.asarray(dm.imag, jnp.float32)
-    kr = (
-        jnp.einsum("ocdnz,dfs->fconsz", br, dmr, precision=hp)
-        - jnp.einsum("ocdnz,dfs->fconsz", bi, dmi, precision=hp)
-    )
-    ki = (
-        jnp.einsum("ocdnz,dfs->fconsz", br, dmi, precision=hp)
-        + jnp.einsum("ocdnz,dfs->fconsz", bi, dmr, precision=hp)
-    )
-    ki = -ki  # conjugate: cross-correlation
-    kr = kr.reshape(8, cin, cout, nbh, 128)
-    ki = ki.reshape(8, cin, cout, nbh, 128)
-    pad = ((0, 0), (0, 0), (0, 0), (0, nbhp - nbh), (0, 0))
-    return jnp.pad(kr, pad), jnp.pad(ki, pad)
+    mr, mi = _spectra_hw_mat_v4(h, kh, kw, nbhp)
+    kt = jnp.transpose(kernel.astype(jnp.float32), (2, 1, 0, 3, 4))
+    kt = kt.reshape(kd * cin * cout, kh * kw)
+    br = jnp.matmul(kt, jnp.asarray(mr), precision=hp)
+    bi = jnp.matmul(kt, jnp.asarray(mi), precision=hp)
+    # rows (d,c,o) -> rows d, cols (c,o,n,z): a contiguous reshape; then
+    # duplicate the W spectrum into both lane halves
+    p = cin * cout * nbhp
+    br = br.reshape(kd, p, _TW)
+    bi = bi.reshape(kd, p, _TW)
+    b2 = jnp.concatenate([
+        jnp.concatenate([br, br], axis=-1),
+        jnp.concatenate([bi, bi], axis=-1),
+    ], axis=0)                                 # (2*KD, P, 128)
+    b2 = b2 * jnp.asarray(_spectra_dsign_v4(kd))
+    d2 = jnp.asarray(_spectra_dmat_v4(kd))
+    out = lax.dot_general(
+        d2, b2, (((1,), (0,)), ((), ())), precision=hp,
+        preferred_element_type=jnp.float32)    # (16, P, 128)
+    kr = out[:8].reshape(8, cin, cout, nbhp, 128)
+    ki = out[8:].reshape(8, cin, cout, nbhp, 128)
+    return kr, ki
 
 
 def _make_kernel_v4(cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh, precision):
-    """Overlap-save-D kernel body. Logical shapes:
-      x        (Cin, H, PP, 128)  packed d-pair lanes (from HBM, staged
-                                  per channel with a double-buffered DMA)
+    """Overlap-save-D kernel body, batch-channel edition. Logical shapes:
+      x        (H, Cin*PP, 128)   packed d-pair lanes, channels stacked
+                                  along the page dim (one DMA per cell)
       kr/ki    (8, Cin, Cout, NBHP, 128)
-      out_ref  (1, Cout, VH, VDP, 128)
+      out_ref  (1, VH, Cout*VDP, 128)
 
-    Pipeline per channel: H one-sided rfft (leading matmul) -> W
-    block-diag DFT (minor) -> page/sublane transpose (near-free in
-    Mosaic, measured ~PB/s) -> windowed block DFT-8 over d-pairs
-    (leading matmul) -> packed radix-2 butterfly (roll + lane select +
-    twiddle) -> XD. MAC: pointwise complex multiply-accumulate over Cin
-    per (f8, fh-chunk), j-blocks vectorized, each Y cell written once.
-    Inverse per out-channel: butterfly combine -> block IDFT-8 (leading)
-    -> W inverse (minor) -> transpose -> H irfft rows (leading)."""
+    Every transform runs as ONE matmul over the full channel-stacked
+    width, with re/im stacked into the rows of the same matmul where the
+    algebra allows (f2/g2/w2/cr2 — see _mats_v4): 8 big dots total per
+    grid cell instead of ~10*(Cin+Cout) per-channel ones. Elementwise
+    stages (W-combine, butterflies, page/sublane transposes) are chunked
+    per channel so the live VMEM temporaries stay a few MB. MAC:
+    pointwise complex multiply-accumulate over Cin per (f8, fh-chunk),
+    each Y cell written exactly once (no RMW)."""
     r_ = 8 * nbd
     nch = nbhp // 8
 
     def body(
         x_hbm, kr_ref, ki_ref,
-        frm, fim, bwr, bwi, bur, bui, crm, cim,
-        wdr, wdi, twfr, twfi, twvr, twvi, widr, widi,
-        out_ref, x_stage, str_s, sti_s, xdr_s, xdi_s, yr_s, yi_s, dma_sem,
+        f2m, bwr, bwi, bur, bui, g2m, twfr, twfi, twvr, twvi, w2m, cr2m,
+        out_ref, tr_s, xd_s, y_s, dma_sem,
     ):
         b = pl.program_id(0)
         dn_lead = (((1,), (0,)), ((), ()))  # (M, K) x (K, P, 128)
         dn_min3 = (((2,), (0,)), ((), ()))  # (A, B, 128) x (128, 128)
-        fr_, fi_ = frm[...], fim[...]
+        f2_ = f2m[...]
         bwr_, bwi_ = bwr[...], bwi[...]
         bur_, bui_ = bur[...], bui[...]
-        cr_, ci_ = crm[...], cim[...]
-        wdr_, wdi_ = wdr[...], wdi[...]
+        g2_, w2_ = g2m[...], w2m[...]
         twfr_, twfi_ = twfr[...], twfi[...]
         twvr_, twvi_ = twvr[...], twvi[...]
-        widr_, widi_ = widr[...], widi[...]
+        cr2_ = cr2m[...]
         lmask = lax.broadcasted_iota(jnp.int32, (r_, nbhp, 128), 2) < _TW
 
-        def copy_in(c, slot):
-            return pltpu.make_async_copy(
-                x_hbm.at[b, c], x_stage.at[slot], dma_sem.at[slot])
+        # x stages into the XD scratch (x is fully consumed before the
+        # first XD write — see below), saving a dedicated staging buffer
+        dma = pltpu.make_async_copy(
+            x_hbm.at[b],
+            xd_s.at[pl.dslice(0, h), pl.dslice(0, cin * pp), :],
+            dma_sem,
+        )
+        dma.start()
+        dma.wait()
 
-        copy_in(0, 0).start()
+        # H fwd (leading) + W fwd (minor) + page/sublane transpose into
+        # the D-leading stacked layout [Sr; Si] (2*PP, Cin*NBHP, 128),
+        # chunked per channel to bound live temporaries
+        for c in range(cin):
+            xc = xd_s[pl.dslice(0, h), pl.dslice(c * pp, pp), :]
+            ac = _dot(f2_, xc, dn_lead, precision)   # (2*NBHP, PP, 128)
+            b1 = _dot(ac, bwr_, dn_min3, precision)  # [Hr*Wr; Hi*Wr]
+            b2 = _dot(ac, bwi_, dn_min3, precision)  # [Hr*Wi; Hi*Wi]
+            src = b1[:nbhp] - b2[nbhp:]
+            sic = b2[:nbhp] + b1[nbhp:]
+            tr_s[pl.dslice(0, pp), pl.dslice(c * nbhp, nbhp), :] = (
+                jnp.swapaxes(src, 0, 1))
+            tr_s[pl.dslice(pp, pp), pl.dslice(c * nbhp, nbhp), :] = (
+                jnp.swapaxes(sic, 0, 1))
 
-        def fwd_channel(c, carry):
-            @pl.when(c + 1 < cin)
-            def _():
-                copy_in(c + 1, (c + 1) % 2).start()
-
-            copy_in(c, c % 2).wait()
-            xc = x_stage[c % 2]                      # (H, PP, 128)
-            hr = _dot(fr_, xc, dn_lead, precision)   # (NBHP, PP, 128)
-            hi = _dot(fi_, xc, dn_lead, precision)
-            sr = (
-                _dot(hr, bwr_, dn_min3, precision)
-                - _dot(hi, bwi_, dn_min3, precision)
-            )
-            si = (
-                _dot(hr, bwi_, dn_min3, precision)
-                + _dot(hi, bwr_, dn_min3, precision)
-            )
-            str_s[...] = jnp.swapaxes(sr, 0, 1)      # (PP, NBHP, 128)
-            sti_s[...] = jnp.swapaxes(si, 0, 1)
-            gr = (
-                _dot(wdr_, str_s[...], dn_lead, precision)
-                - _dot(wdi_, sti_s[...], dn_lead, precision)
-            )                                        # (R, NBHP, 128)
-            gi = (
-                _dot(wdr_, sti_s[...], dn_lead, precision)
-                + _dot(wdi_, str_s[...], dn_lead, precision)
-            )
+        # D fwd: windowed block DFT-8 over d-pairs, one stacked leading
+        # matmul; butterfly (roll + select + twiddle) chunked per channel
+        g = _dot(
+            g2_,
+            tr_s[pl.dslice(0, 2 * pp), pl.dslice(0, cin * nbhp), :],
+            dn_lead, precision,
+        )                                            # (2R, Cin*NBHP, 128)
+        for c in range(cin):
+            gr = g[:r_, c * nbhp:(c + 1) * nbhp, :]
+            gi = g[r_:, c * nbhp:(c + 1) * nbhp, :]
             rr = pltpu.roll(gr, _TW, axis=2)
             ri = pltpu.roll(gi, _TW, axis=2)
             er = jnp.where(lmask, gr, rr)
             ei = jnp.where(lmask, gi, ri)
             our = jnp.where(lmask, rr, gr)
             oui = jnp.where(lmask, ri, gi)
-            xdr_s[c] = er + twfr_ * our - twfi_ * oui
-            xdi_s[c] = ei + twfr_ * oui + twfi_ * our
-            return carry
-
-        jax.lax.fori_loop(0, cin, fwd_channel, 0)
+            xd_s[pl.dslice(0, r_), pl.dslice(c * nbhp, nbhp), :] = (
+                er + twfr_ * our - twfi_ * oui)
+            xd_s[pl.dslice(r_, r_), pl.dslice(c * nbhp, nbhp), :] = (
+                ei + twfr_ * oui + twfi_ * our)
 
         # pointwise frequency MAC: walk (f8, fh-chunk); j-blocks ride as
         # a vector dim, kernel row f8 broadcasts across them; every Y
@@ -463,30 +523,36 @@ def _make_kernel_v4(cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh, precision):
         def mac_it(it, carry):
             f8 = it // nch
             ch = (it % nch) * 8
-            kr_blk = kr_ref[f8, :, :, pl.dslice(ch, 8), :]
-            ki_blk = ki_ref[f8, :, :, pl.dslice(ch, 8), :]
-            xr_blk = xdr_s[:, pl.dslice(f8 * nbd, nbd),
-                           pl.dslice(ch, 8), :]      # (Cin, NBD, 8, 128)
-            xi_blk = xdi_s[:, pl.dslice(f8 * nbd, nbd),
-                           pl.dslice(ch, 8), :]
+            xs = []
+            for c in range(cin):
+                xs.append((
+                    xd_s[pl.dslice(f8 * nbd, nbd),
+                         pl.dslice(c * nbhp + ch, 8), :],
+                    xd_s[pl.dslice(r_ + f8 * nbd, nbd),
+                         pl.dslice(c * nbhp + ch, 8), :],
+                ))
             for o in range(cout):
                 ar = ai = None
                 for c in range(cin):
-                    kro = kr_blk[c, o][None]         # (1, 8, 128)
-                    kio = ki_blk[c, o][None]
-                    tr = xr_blk[c] * kro - xi_blk[c] * kio
-                    ti = xr_blk[c] * kio + xi_blk[c] * kro
+                    xr, xi = xs[c]                   # (NBD, 8, 128)
+                    kro = kr_ref[f8, c, o, pl.dslice(ch, 8), :][None]
+                    kio = ki_ref[f8, c, o, pl.dslice(ch, 8), :][None]
+                    tr = xr * kro - xi * kio
+                    ti = xr * kio + xi * kro
                     ar = tr if ar is None else ar + tr
                     ai = ti if ai is None else ai + ti
-                yr_s[o, pl.dslice(f8 * nbd, nbd), pl.dslice(ch, 8), :] = ar
-                yi_s[o, pl.dslice(f8 * nbd, nbd), pl.dslice(ch, 8), :] = ai
+                y_s[pl.dslice(f8 * nbd, nbd),
+                    pl.dslice(o * nbhp + ch, 8), :] = ar
+                y_s[pl.dslice(r_ + f8 * nbd, nbd),
+                    pl.dslice(o * nbhp + ch, 8), :] = ai
             return carry
 
         jax.lax.fori_loop(0, 8 * nch, mac_it, 0)
 
-        def per_out(o, carry):
-            yr = yr_s[o]                             # (R, NBHP, 128)
-            yi = yi_s[o]
+        # inverse butterfly combine, in place on Y, chunked per channel
+        for o in range(cout):
+            yr = y_s[pl.dslice(0, r_), pl.dslice(o * nbhp, nbhp), :]
+            yi = y_s[pl.dslice(r_, r_), pl.dslice(o * nbhp, nbhp), :]
             rr = pltpu.roll(yr, _TW, axis=2)
             ri = pltpu.roll(yi, _TW, axis=2)
             ur = yr + rr
@@ -495,34 +561,34 @@ def _make_kernel_v4(cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh, precision):
             di = yi - ri
             vr = dr * twvr_ - di * twvi_
             vi = dr * twvi_ + di * twvr_
-            pr = jnp.where(lmask, ur, vr)
-            pi = jnp.where(lmask, ui, vi)
-            zr = (
-                _dot(widr_, pr, dn_lead, precision)
-                - _dot(widi_, pi, dn_lead, precision)
-            )                                        # (VDP, NBHP, 128)
-            zi = (
-                _dot(widr_, pi, dn_lead, precision)
-                + _dot(widi_, pr, dn_lead, precision)
-            )
-            er = (
-                _dot(zr, bur_, dn_min3, precision)
-                - _dot(zi, bui_, dn_min3, precision)
-            )
-            ei = (
-                _dot(zr, bui_, dn_min3, precision)
-                + _dot(zi, bur_, dn_min3, precision)
-            )
-            ert = jnp.swapaxes(er, 0, 1)             # (NBHP, VDP, 128)
-            eit = jnp.swapaxes(ei, 0, 1)
-            out = (
-                _dot(cr_, ert[:nbh], dn_lead, precision)
-                + _dot(ci_, eit[:nbh], dn_lead, precision)
-            )                                        # (VH, VDP, 128)
-            out_ref[0, o] = out
-            return carry
+            y_s[pl.dslice(0, r_), pl.dslice(o * nbhp, nbhp), :] = (
+                jnp.where(lmask, ur, vr))
+            y_s[pl.dslice(r_, r_), pl.dslice(o * nbhp, nbhp), :] = (
+                jnp.where(lmask, ui, vi))
 
-        jax.lax.fori_loop(0, cout, per_out, 0)
+        # D inverse: block IDFT-8, one stacked leading matmul
+        z = _dot(w2_, y_s[...], dn_lead, precision)
+        # z: (2*VDP, Cout*NBHP, 128) = [Zr; Zi]
+
+        # W inverse (minor) + transpose back into the H-leading stacked
+        # layout [Er; Ei] (2*NBHP, Cout*VDP, 128), reusing tr_s
+        for o in range(cout):
+            zo = z[:, o * nbhp:(o + 1) * nbhp, :]    # (2*VDP, NBHP, 128)
+            b1 = _dot(zo, bur_, dn_min3, precision)
+            b2 = _dot(zo, bui_, dn_min3, precision)
+            ero = b1[:vdp] - b2[vdp:]
+            eio = b2[:vdp] + b1[vdp:]
+            tr_s[pl.dslice(0, nbhp), pl.dslice(o * vdp, vdp), :] = (
+                jnp.swapaxes(ero, 0, 1))
+            tr_s[pl.dslice(nbhp, nbhp), pl.dslice(o * vdp, vdp), :] = (
+                jnp.swapaxes(eio, 0, 1))
+
+        # H inverse: irfft valid rows, one stacked leading matmul
+        out_ref[0] = _dot(
+            cr2_,
+            tr_s[pl.dslice(0, 2 * nbhp), pl.dslice(0, cout * vdp), :],
+            dn_lead, precision,
+        )                                            # (VH, Cout*VDP, 128)
 
     return body
 
@@ -541,22 +607,24 @@ def _fused3d_call_v4(b, cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh,
     grid_spec = pl.GridSpec(
         grid=(b,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # x (B, Cin, H, PP, 128)
+            pl.BlockSpec(memory_space=pl.ANY),  # x (B, H, Cin*PP, 128)
             spec_block(), spec_block(),
-        ] + [mat_spec() for _ in range(16)],
+        ] + [mat_spec() for _ in range(12)],
         out_specs=pl.BlockSpec(
-            (1, cout, vh, vdp, 128), lambda b_: (b_, 0, 0, 0, 0),
+            (1, vh, cout * vdp, 128), lambda b_: (b_, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, h, pp, 128), jnp.float32),      # x staging
-            pltpu.VMEM((pp, nbhp, 128), jnp.float32),      # S^T re
-            pltpu.VMEM((pp, nbhp, 128), jnp.float32),      # S^T im
-            pltpu.VMEM((cin, r_, nbhp, 128), jnp.float32),  # XD re
-            pltpu.VMEM((cin, r_, nbhp, 128), jnp.float32),  # XD im
-            pltpu.VMEM((cout, r_, nbhp, 128), jnp.float32),  # Y re
-            pltpu.VMEM((cout, r_, nbhp, 128), jnp.float32),  # Y im
-            pltpu.SemaphoreType.DMA((2,)),
+            # shared transpose buffer: fwd [Sr; Si] (2PP, Cin*NBHP),
+            # inv [Er; Ei] (2NBHP, Cout*VDP)
+            pltpu.VMEM((max(2 * pp, 2 * nbhp),
+                        max(cin * nbhp, cout * vdp), 128), jnp.float32),
+            # XD, doubling as the x staging buffer (x (H, Cin*PP) is
+            # consumed by the fwd transforms before XD is written)
+            pltpu.VMEM((max(2 * r_, h),
+                        max(cin * nbhp, cin * pp), 128), jnp.float32),
+            pltpu.VMEM((2 * r_, cout * nbhp, 128), jnp.float32),  # Y
+            pltpu.SemaphoreType.DMA(()),
         ],
     )
     flops = b * 2 * (
@@ -569,7 +637,8 @@ def _fused3d_call_v4(b, cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh,
         _make_kernel_v4(cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh,
                         precision),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, cout, vh, vdp, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, vh, cout * vdp, 128), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=int(flops),
             bytes_accessed=(b * cin * h * pp + b * cout * vh * vdp)
@@ -785,17 +854,18 @@ def _fused3d_forward(x_padded, kernel, out_dhw):
     od, oh, ow = out_dhw
     vh = h - kh + 1
 
-    # pack lanes: xp[b, c, h, p, TW*s + w] = x[b, c, 2p + s, h, w]
+    # pack lanes: two consecutive D-slabs share one 128-lane tile
     x = x_padded.astype(jnp.float32)
     if 2 * pages != d or w != _TW:
         x = jnp.pad(
             x, ((0, 0), (0, 0), (0, 2 * pages - d), (0, 0), (0, _TW - w))
         )
     x = x.reshape(b, cin, pages, 2, h, _TW)
-    x = jnp.transpose(x, (0, 1, 4, 2, 3, 5))
-    x = x.reshape(b, cin, h, pages, 2 * _TW)
 
     if plan[0] == "v4":
+        # xp[b, h, c*PP + p, TW*s + w] = x[b, c, 2p + s, h, w]
+        x = jnp.transpose(x, (0, 4, 1, 2, 3, 5))
+        x = x.reshape(b, h, cin * pages, 2 * _TW)
         kr, ki = _kernel_spectra_v4(
             kernel.astype(jnp.float32), h, nbh, nbhp)
         mats = [jnp.asarray(m) for m in _mats_v4(h, vh, nbd, pages)]
@@ -803,13 +873,21 @@ def _fused3d_forward(x_padded, kernel, out_dhw):
             b, cin, cout, h, nbh, nbhp, pages, nbd, vdp, vh,
             _PRECISION_3D, _is_cpu(),
         )
-    else:
-        kr, ki = _kernel_spectra_3d(kernel.astype(jnp.float32), h, nbh)
-        mats = [jnp.asarray(m) for m in _mats_3d(h, vh)]
-        call = _fused3d_call(
-            b, cin, cout, h, nbh, pages, vdp, vh, me, mr,
-            _PRECISION_3D, _is_cpu(),
-        )
+        out = call(x, kr, ki, *mats)    # (B, VH, Cout*VDP, 128)
+        out = out.reshape(b, vh, cout, vdp, 2, _TW)
+        out = jnp.transpose(out, (0, 2, 3, 4, 1, 5))
+        out = out.reshape(b, cout, 2 * vdp, vh, _TW)
+        return out[:, :, :od, :oh, :ow]
+
+    # tap path: xp[b, c, h, p, TW*s + w] = x[b, c, 2p + s, h, w]
+    x = jnp.transpose(x, (0, 1, 4, 2, 3, 5))
+    x = x.reshape(b, cin, h, pages, 2 * _TW)
+    kr, ki = _kernel_spectra_3d(kernel.astype(jnp.float32), h, nbh)
+    mats = [jnp.asarray(m) for m in _mats_3d(h, vh)]
+    call = _fused3d_call(
+        b, cin, cout, h, nbh, pages, vdp, vh, me, mr,
+        _PRECISION_3D, _is_cpu(),
+    )
     out = call(x, kr, ki, *mats)        # (B, Cout, VH, VDP, 128)
     # unpack lanes -> D pages, crop to the valid output box
     out = out.reshape(b, cout, vh, vdp, 2, _TW)
