@@ -202,11 +202,21 @@ def _dot(a, b, dn, precision):
 
 
 def _mm_right(x_re, x_im, m_re, m_im, precision):
-    """(..., N2) complex @ (N2,N2) complex -> (re, im): minor contraction."""
+    """(..., N2) complex @ (N2,N2) complex -> (re, im): minor contraction.
+
+    The re/im parts are STACKED along axis 0 so each weight matrix loads
+    into the MXU once for 2x the row-vectors (2 dots instead of 4): at
+    the small-K benchmark shapes these minor dots are ~90% of the
+    kernel's matmul MACs and the per-dot weight-load latency is a
+    measurable fraction of cell time."""
+    n1 = x_re.shape[0]
     dn = (((x_re.ndim - 1,), (0,)), ((), ()))
     dot = lambda a, b: _dot(a, b, dn, precision)  # noqa: E731
-    re = dot(x_re, m_re) - dot(x_im, m_im)
-    im = dot(x_re, m_im) + dot(x_im, m_re)
+    st = jnp.concatenate([x_re, x_im], axis=0)
+    d1 = dot(st, m_re)          # [re*mr; im*mr]
+    d2 = dot(st, m_im)          # [re*mi; im*mi]
+    re = d1[:n1] - d2[n1:]
+    im = d2[:n1] + d1[n1:]
     return re, im
 
 
