@@ -116,13 +116,33 @@ def choose_fft_size(
 
 
 @lru_cache(maxsize=None)
-def _factor_consts(n1: int, n2: int):
-    """Split re/im f32 DFT factor matrices (forward + inverse) as numpy."""
+def _factor_consts(n1: int, n2: int, v1: int):
+    """Split re/im f32 DFT factors for the ONE-SIDED four-step pipeline.
+
+    Real input makes the scrambled spectrum conjugate-symmetric in
+    four-step coordinates: D[N1-k1, N2-1-k2] = conj(D[k1, k2]) (k1 > 0;
+    row 0 pairs with itself under the k2 flip). The kernel therefore
+    computes k1 in [0, N1/2] only — H1+1 = N1/2+1 rows, rows 0 and N1/2
+    self-paired — through stage 2, the MAC, and inverse stage 1; the
+    identity survives the inverse pipeline as G[N1-k1] = conj(G[k1]) (the
+    k2 flip's per-column phase cancels against the twiddle), so inverse
+    stage 2 is EXACTLY out = Re(if1[:, :H1+1] . diag(w) @ G) with interior
+    weights 2 — no approximation. ~45% of the matmul MACs removed.
+
+      f1os (H1+1, N1) fwd stage-1 rows; tw (H1+1, N2) twiddle rows;
+      f2 / if2 (N2, N2); if1w (V1, H1+1) inverse stage-2, valid output
+      rows only, pair-doubling folded in.
+    """
     f1, f2, tw = fft_factor_matrices(n1, n2)
+    h1 = n1 // 2
     if1 = np.conj(f1) / n1
     if2 = np.conj(f2) / n2
+    wts = np.full(h1 + 1, 2.0)
+    wts[0] = 1.0
+    wts[h1] = 1.0
+    if1w = if1[:v1, :h1 + 1] * wts[None, :]
     out = []
-    for m in (f1, f2, tw, if1, if2):
+    for m in (f1[:h1 + 1], f2, tw[:h1 + 1], if1w, if2):
         out.append(np.ascontiguousarray(m.real, np.float32))
         out.append(np.ascontiguousarray(m.imag, np.float32))
     return tuple(out)
@@ -204,19 +224,14 @@ def _dot(a, b, dn, precision):
 def _mm_right(x_re, x_im, m_re, m_im, precision):
     """(..., N2) complex @ (N2,N2) complex -> (re, im): minor contraction.
 
-    The re/im parts are STACKED along axis 0 so each weight matrix loads
-    into the MXU once for 2x the row-vectors (2 dots instead of 4): at
-    the small-K benchmark shapes these minor dots are ~90% of the
-    kernel's matmul MACs and the per-dot weight-load latency is a
-    measurable fraction of cell time."""
-    n1 = x_re.shape[0]
+    Measured dead end (v5e, round 3): stacking re/im along axis 0 to
+    halve the dot count (2 dots over 2x rows) is neutral-to-slightly
+    SLOWER (0.086 vs 0.084 ms at 1D K=256) — the stack/unstack copies
+    cost what the saved weight loads gain."""
     dn = (((x_re.ndim - 1,), (0,)), ((), ()))
     dot = lambda a, b: _dot(a, b, dn, precision)  # noqa: E731
-    st = jnp.concatenate([x_re, x_im], axis=0)
-    d1 = dot(st, m_re)          # [re*mr; im*mr]
-    d2 = dot(st, m_im)          # [re*mi; im*mi]
-    re = d1[:n1] - d2[n1:]
-    im = d2[:n1] + d1[n1:]
+    re = dot(x_re, m_re) - dot(x_im, m_im)
+    im = dot(x_re, m_im) + dot(x_im, m_re)
     return re, im
 
 
@@ -242,12 +257,18 @@ def _make_kernel(n1, n2, cin, cout, v1, vrow, precision, b, groups=1):
         dma.wait()
         a = x_vmem[...]  # (B, Cin, N1, N2) real block
 
-        # forward stage 1 (real input: 2 matmuls); contracting the rhs's
-        # N1 axis also converts the layout: (N1,N1) x (B,Cin,N1,N2) ->
-        # (N1, B, Cin, N2), which the remaining stages expect.
-        dn_s1 = (((1,), (2,)), ((), ()))
-        br = _dot(f1r[...], a, dn_s1, precision)
-        bi = _dot(f1i[...], a, dn_s1, precision)
+        # forward stage 1 (real input, ONE-SIDED rows [0, N1/2]): the
+        # block is first transposed to (N1, B, Cin, N2) — two near-free
+        # sublane/outer swaps — so the contraction is a LEADING-dim dot
+        # that collapses to one matmul. The previous middle contraction
+        # (contract dim 2 of the rank-4 block) made Mosaic unroll one
+        # (N1,N1)x(N1,N2) matmul per (B,Cin) page: 22.9 us of the 76 us
+        # K=256 cell — 30% of the kernel for 3% of its MACs (measured,
+        # scratch/tpu_fused1d_ablate.py).
+        at = jnp.swapaxes(jnp.swapaxes(a, 1, 2), 0, 1)  # (N1, B, Cin, N2)
+        dn_lead = (((1,), (0,)), ((), ()))
+        br = _dot(f1r[...], at, dn_lead, precision)  # (N1H, B, Cin, N2)
+        bi = _dot(f1i[...], at, dn_lead, precision)
         # twiddle (broadcast over batch + channel dims)
         tr = twr[...][:, None, None, :]
         ti = twi[...][:, None, None, :]
@@ -284,13 +305,13 @@ def _make_kernel(n1, n2, cin, cout, v1, vrow, precision, b, groups=1):
         gi = ei * tr - er * ti
         # inverse stage 2, real part only (2 matmuls; contracts the
         # leading dim — legal single-matmul lowering because the minor
-        # dims collapse to whole 128-lane tiles)
-        dn = (((1,), (0,)), ((), ()))
+        # dims collapse to whole 128-lane tiles). if1w carries the
+        # one-sided pair-doubling and emits valid output rows directly.
         out_real = (
-            _dot(if1r[...], gr, dn, precision)
-            - _dot(if1i[...], gi, dn, precision)
-        )  # (N1, B, Cout, N2)
-        out_ref[0] = out_real[:v1]
+            _dot(if1r[...], gr, dn_lead, precision)
+            - _dot(if1i[...], gi, dn_lead, precision)
+        )  # (V1, B, Cout, N2)
+        out_ref[0] = out_real
 
     return body
 
@@ -309,11 +330,11 @@ def _fused_call(b, nblk, n1, n2, cin, cout, v1, vrow, precision, interpret,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # x: whole array in HBM
             pl.BlockSpec(
-                (cout, n1, cpg, n2), lambda j: (0, 0, 0, 0),
+                (cout, n1 // 2 + 1, cpg, n2), lambda j: (0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (cout, n1, cpg, n2), lambda j: (0, 0, 0, 0),
+                (cout, n1 // 2 + 1, cpg, n2), lambda j: (0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ] + [mat_spec() for _ in range(10)],
@@ -326,8 +347,12 @@ def _fused_call(b, nblk, n1, n2, cin, cout, v1, vrow, precision, interpret,
             pltpu.SemaphoreType.DMA(()),
         ],
     )
+    # one-sided rows (N1/2+1 of N1) through stage 2 / MAC / inverse
+    n1h = n1 // 2 + 1
     flops_cell = (
-        2 * n * (2 * n1 + 4 * n2 + 4 * n2 + 2 * n1) * (cin + cout) // 2 * b
+        2 * n2 * (
+            n1h * 2 * n1 + n1h * 4 * n2 + n1h * 4 * n2 + v1 * 2 * n1h
+        ) * (cin + cout) // 2 * b
     )
     return pl.pallas_call(
         _make_kernel(n1, n2, cin, cout, v1, vrow, precision, b, groups),
@@ -378,7 +403,10 @@ def _fused_forward(x_padded, kernel, n, groups=1, spectra=None):
     x4 = x_ext.reshape(b, cin, need // n2, n2)
 
     kr, ki = spectra if spectra is not None else kernel_spectrum(kernel, n, n1, n2)
-    consts = [jnp.asarray(m) for m in _factor_consts(n1, n2)]
+    # one-sided MAC: keep spectrum rows k1 in [0, N1/2] (see _factor_consts)
+    n1h = n1 // 2 + 1
+    kr, ki = kr[:, :n1h], ki[:, :n1h]
+    consts = [jnp.asarray(m) for m in _factor_consts(n1, n2, v1)]
 
     call = _fused_call(
         b, nblk, n1, n2, cin, cout, v1, v // n2,
