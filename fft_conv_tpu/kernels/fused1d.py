@@ -15,15 +15,20 @@ TPU-shaping decisions:
   * FFT size N = N1*N2 (powers of two, N2 = 128 lanes). Each cell DMAs its
     overlapped block straight from HBM (rows of a free (B,Cin,rows,128)
     view) — an XLA-side gather for the overlapped blocks costs 2.5x the
-    whole kernel (measured 0.43 ms vs 0.17 ms on v5e). Stage-1's contraction
-    doubles as the layout change: (N1,N1) x (Cin,N1,N2) -> (N1,Cin,N2), so
-    both FFT stages are single full-width MXU matmuls with native (8,128)
-    f32 tiles and there are no in-kernel transposes or reshapes.
+    whole kernel (measured 0.43 ms vs 0.17 ms on v5e). The block is
+    transposed to (N1,B,Cin,N2) in VMEM (two near-free sublane/outer
+    swaps) so BOTH FFT stages are single full-width leading/minor MXU
+    matmuls with native (8,128) f32 tiles — a middle-dim contraction here
+    made Mosaic unroll one matmul per (B,Cin) page, 30% of the K=256 cell
+    for 3% of its MACs (measured, scratch/tpu_fused1d_ablate.py).
   * Kernel spectra (precomputed once via kernels.fourstep, conjugated, in
     the same scrambled bin order) stay VMEM-resident across all grid cells;
     N is chosen so they fit a ~4 MiB budget.
-  * Real-input optimization: forward stage 1 and inverse stage 2 compute
-    only the live real/imag planes (2 matmuls instead of 4).
+  * Real-input optimization, ONE-SIDED end to end: the conjugate symmetry
+    D[N1-k1, N2-1-k2] = conj(D[k1,k2]) of the scrambled spectrum cuts
+    stage 2, the MAC, and inverse stage 1 to k1 in [0, N1/2] (~45% of the
+    matmul MACs); inverse stage 2 folds the exact pair-doubling into its
+    weights and emits valid output rows only (see _factor_consts).
   * f32 spectra with HIGHEST-precision matmuls: bf16 twiddles would blow
     the 5e-5/1e-4 accuracy bar (reference benchmark_utils.py:53-57).
 
@@ -287,7 +292,7 @@ def _make_kernel(n1, n2, cin, cout, v1, vrow, precision, b, groups=1):
             go = o // opg
             dr_g = dr[:, :, go * cpg:(go + 1) * cpg, :]
             di_g = di[:, :, go * cpg:(go + 1) * cpg, :]
-            kr_o = kr_ref[o][:, None, :, :]  # (N1, 1, Cin/groups, N2)
+            kr_o = kr_ref[o][:, None, :, :]  # (N1H, 1, Cin/groups, N2)
             ki_o = ki_ref[o][:, None, :, :]
             yr_parts.append(
                 jnp.sum(dr_g * kr_o - di_g * ki_o, axis=2, keepdims=True)
