@@ -144,7 +144,10 @@ def _factor_consts(n1: int, n2: int, v1: int):
     if2 = np.conj(f2) / n2
     wts = np.full(h1 + 1, 2.0)
     wts[0] = 1.0
-    wts[h1] = 1.0
+    # the top row is self-paired only when N1 is even (always true for
+    # the power-of-two _FFT_SIZES; guard odd N1 from sweep overrides)
+    if n1 % 2 == 0:
+        wts[h1] = 1.0
     if1w = if1[:v1, :h1 + 1] * wts[None, :]
     out = []
     for m in (f1[:h1 + 1], f2, tw[:h1 + 1], if1w, if2):
