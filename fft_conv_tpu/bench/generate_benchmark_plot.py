@@ -100,7 +100,16 @@ def _methods(ndim) -> Dict[str, Callable]:
     return methods
 
 
-def run_sweep(configs: Optional[List[BenchConfig]] = None) -> List[dict]:
+def run_sweep(
+    configs: Optional[List[BenchConfig]] = None,
+    checkpoint_path: Optional[str] = None,
+) -> List[dict]:
+    """Sweeps every (config, kernel size, method) point.
+
+    ``checkpoint_path``: if given, the accumulated rows are re-written
+    there after EVERY point — the TPU tunnel occasionally wedges
+    mid-sweep (observed: >50 min silent on one compile), and a killed
+    run must not lose the hours of points already measured."""
     import jax
 
     # persistent compile cache: the sweep compiles ~40 (method, point)
@@ -161,10 +170,14 @@ def run_sweep(configs: Optional[List[BenchConfig]] = None) -> List[dict]:
                     )
                     print(
                         f"{cfg.label} k={k:5d} {name:22s} "
-                        f"{t.mean * 1e3:9.3f} ms ± {t.std * 1e3:.3f}"
+                        f"{t.mean * 1e3:9.3f} ms ± {t.std * 1e3:.3f}",
+                        flush=True,
                     )
                 except Exception as e:  # keep sweeping (reference :192-193)
                     print(f"{cfg.label} k={k} {name}: {type(e).__name__}: {e}")
+                if checkpoint_path:
+                    with open(checkpoint_path, "w") as f:
+                        json.dump(rows, f, indent=1)
     return rows
 
 
@@ -234,8 +247,8 @@ def main():
             for c in CONFIGS
         ]
     os.makedirs(args.out, exist_ok=True)
-    rows = run_sweep(configs)
     json_path = os.path.join(args.out, "benchmark_results.json")
+    rows = run_sweep(configs, checkpoint_path=json_path)
     with open(json_path, "w") as f:
         json.dump(rows, f, indent=1)
     print(f"wrote {json_path}")
