@@ -13,7 +13,12 @@ from .fused2d import (
     set_fused2d_precision,
     tile_plan_2d,
 )
-from .fused3d import fft_conv3d_fused, plan_3d, set_fused3d_precision
+from .fused3d import (
+    fft_conv3d_fused,
+    plan_3d,
+    plan_fft_conv3d,
+    set_fused3d_precision,
+)
 
 __all__ = [
     "fft_conv1d_fused",
@@ -27,6 +32,7 @@ __all__ = [
     "set_fused2d_precision",
     "plan_fft_conv1d",
     "plan_fft_conv2d",
+    "plan_fft_conv3d",
     "set_fused_precision",
     "choose_fft_size",
     "four_step_fft",

@@ -60,7 +60,7 @@ def set_fused2d_precision(mode: str) -> None:
     """Selects the 2D kernel's matmul precision ("highest" | "bf16x3").
 
     Independent of the 1D kernel's ``fused1d.set_fused_precision`` — each
-    fused kernel has its own switch (see CHANGELOG note in README)."""
+    fused kernel has its own switch (see the precision note in README)."""
     global _PRECISION_2D
     if mode not in ("highest", "bf16x3"):
         raise ValueError(f"unknown fused precision mode: {mode!r}")

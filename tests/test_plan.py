@@ -97,3 +97,38 @@ def test_plan_fft_conv2d_fused_matches():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         fn(jnp.zeros((1, 2, 64, 64)))
+
+
+def test_plan_fft_conv3d_fused_matches():
+    """Baked-spectra 3D fused plan (interpret on CPU) matches fft_conv,
+    on both the v4 (KD <= 9) and tap-fallback (KD > 9) kernel modes."""
+    from fft_conv_tpu.kernels.fused3d import plan_3d, plan_fft_conv3d
+
+    rng = np.random.default_rng(21)
+    for kd, seed in ((4, 0), (11, 1)):
+        d = 30
+        sig = jnp.asarray(
+            rng.standard_normal((1, 2, d, 24, 20)).astype(np.float32))
+        w = jnp.asarray(
+            rng.standard_normal((2, 2, kd, 5, 3)).astype(np.float32))
+        b = jnp.asarray(rng.standard_normal((2,)).astype(np.float32))
+        mode = plan_3d(2, 2, d + 2, 24 + 2, 20 + 2, kd, 5, 3)[0]
+        assert mode == ("v4" if kd <= 9 else "tap")
+        fn = plan_fft_conv3d(w, b, padding=1, signal_dhw=(d, 24, 20))
+        y = fn(sig)
+        y_ref = fft_conv(sig, w, b, padding=1, impl="xla")
+        assert y.shape == y_ref.shape
+        err = np.abs(np.asarray(y) - np.asarray(y_ref))
+        scale = max(1.0, float(np.asarray(y_ref).std()))
+        assert err.mean() < 5e-5 * scale and err.max() < 2e-4 * scale
+        # gradient w.r.t. the signal flows through the planned core
+        g = jax.grad(lambda s: fn(s).sum())(sig)
+        g_ref = jax.grad(
+            lambda s: fft_conv(s, w, b, padding=1, impl="xla").sum())(sig)
+        gerr = np.abs(np.asarray(g) - np.asarray(g_ref))
+        gscale = max(1.0, float(np.asarray(g_ref).std()))
+        assert gerr.max() < 2e-4 * gscale
+    # wrong spatial shape rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        fn(jnp.zeros((1, 2, 8, 8, 8)))
