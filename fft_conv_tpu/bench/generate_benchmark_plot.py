@@ -176,8 +176,12 @@ def run_sweep(
                 except Exception as e:  # keep sweeping (reference :192-193)
                     print(f"{cfg.label} k={k} {name}: {type(e).__name__}: {e}")
                 if checkpoint_path:
-                    with open(checkpoint_path, "w") as f:
+                    # atomic: a kill mid-dump must not truncate the
+                    # previously checkpointed rows
+                    tmp = checkpoint_path + ".tmp"
+                    with open(tmp, "w") as f:
                         json.dump(rows, f, indent=1)
+                    os.replace(tmp, checkpoint_path)
     return rows
 
 

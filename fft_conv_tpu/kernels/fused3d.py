@@ -80,10 +80,14 @@ from .fused1d import _dot
 
 # resident kernel-spectra budget: Cout*T*Cin*NBH*128*8 bytes
 _KER_VMEM_BUDGET = 24 * 2**20
-# per-cell VMEM budget for the signal-side scratch (x + S/R spectra + out
-# + the largest live value); 96 + _KER_VMEM_BUDGET + ~8 MB chunk
-# temporaries fits the 128 MB vmem_limit
+# per-cell VMEM budgets for the signal-side scratch (x + spectra + out +
+# the largest live values). The v4 gate counts its static scratch, the
+# stacked G/Z values AND the per-channel chunk temporaries; 96 +
+# _KER_VMEM_BUDGET fits the 128 MB vmem_limit. The tap path keeps the
+# round-2-validated 80 MB bound (its estimate was never re-validated at
+# a higher mark).
 _VOL_VMEM_BUDGET = 96 * 2**20
+_TAP_VMEM_BUDGET = 80 * 2**20
 
 # W-axis transform length: one lane HALF. Two D-slabs pack per 128-lane
 # tile, each transformed by its own F64 block of the block-diagonal matrix.
@@ -156,14 +160,17 @@ def _plan_v4(cin: int, cout: int, d: int, h: int, w: int,
     if 8 * cin * cout * nbhp * 128 * 8 > _KER_VMEM_BUDGET:
         return None
     # static scratch (XD doubles as x staging, tr is shared fwd/inv) +
-    # the largest stacked live values (G / Z, ~2R x C*NBHP); chunked
-    # elementwise stages keep other temporaries to a few MB (slack)
+    # the largest stacked live values (G / Z, ~2R x C*NBHP) + the
+    # per-channel chunk temporaries of the W stages (fwd: ac + b1 + b2 at
+    # 2*NBHP x PP plus the combine pair at NBHP x PP ~ 8*NBHP*PP rows;
+    # inverse symmetric with VDP)
     cell = (
         max(2 * pp, 2 * nbhp) * max(cin * nbhp, cout * vdp)    # tr
         + max(2 * r, h) * max(cin * nbhp, cin * pp)            # XD / x
         + 2 * r * cout * nbhp                                  # Y
         + vh * cout * vdp                                      # out block
         + 2 * r * max(cin, cout) * nbhp                        # live G / Z
+        + 8 * nbhp * max(pp, vdp)                              # chunk temps
     ) * 128 * 4
     if cell > _VOL_VMEM_BUDGET:
         return None
@@ -194,7 +201,7 @@ def _plan_tap(cin: int, cout: int, d: int, h: int, w: int,
         + 2 * cout * nbh * vdp * 128
         + cout * vh * vdp * 128
     ) * 4
-    if cell > _VOL_VMEM_BUDGET:
+    if cell > _TAP_VMEM_BUDGET:
         return None
     return ("tap", nbh, vdp, pages)
 
@@ -629,7 +636,7 @@ def _fused3d_call_v4(b, cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh,
     )
     flops = b * 2 * (
         cin * (2 * nbhp * h + 4 * 128) * pp * 128            # H + W fwd
-        + (cin + cout) * 4 * r_ * pp * nbhp * 128 // pp      # D fwd/inv
+        + 4 * r_ * nbhp * 128 * (cin * pp + cout * vdp)      # D fwd/inv
         + cout * cin * r_ * nbhp * 128 * 4                   # MAC (VPU)
         + cout * (4 * 128 + 2 * vh * nbh / 128) * vdp * 128  # W/H inv
     )

@@ -33,7 +33,15 @@ need = (nblk - 1) * v + N
 x_ext = jnp.pad(jnp.asarray(x), ((0, 0), (0, 0), (0, need - L)))
 x4 = x_ext.reshape(B, CIN, need // n2, n2)
 kr, ki = jax.jit(lambda k_: F1.kernel_spectrum(k_, N, n1, n2))(jnp.asarray(w))
-consts = [jnp.asarray(m) for m in F1._factor_consts(n1, n2)]
+# frozen TWO-SIDED factor consts: this probe measures the pre-one-sided
+# kernel body (the evidence base for the round-3 redesign); the library's
+# _factor_consts is one-sided now and no longer fits this body
+from fft_conv_tpu.kernels.fourstep import fft_factor_matrices as _ffm
+_f1, _f2, _tw = _ffm(n1, n2)
+_if1, _if2 = np.conj(_f1) / n1, np.conj(_f2) / n2
+consts = [jnp.asarray(np.ascontiguousarray(part, np.float32))
+          for m in (_f1, _f2, _tw, _if1, _if2)
+          for part in (m.real, m.imag)]
 
 
 def make_body(stages):

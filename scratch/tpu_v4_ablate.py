@@ -1,4 +1,9 @@
-"""TPU ablation of fused3d v4 kernel stages at the benchmark config."""
+"""HISTORICAL (round-3 v4 era): frozen against commit b8e3b7a — the v5 batch-channel
+rewrite changed _mats_v4 (12 stacked mats) and the kernel x layout, so this
+probe no longer runs at HEAD. Kept as the measured-evidence record cited in
+ROADMAP/ARCHITECTURE. Superseded by tpu_fused3d_v5_ablate.py.
+
+TPU ablation of fused3d v4 kernel stages at the benchmark config."""
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -1,4 +1,9 @@
-"""TPU probe: where the ~0.57 ms between the v4 kernel (0.834 ms ablated)
+"""HISTORICAL (round-3 v4 era): frozen against commit b8e3b7a — the v5 batch-channel
+rewrite changed _mats_v4 (12 stacked mats) and the kernel x layout, so this
+probe no longer runs at HEAD. Kept as the measured-evidence record cited in
+ROADMAP/ARCHITECTURE. Superseded by tpu_fused3d_v5_ablate.py.
+
+TPU probe: where the ~0.57 ms between the v4 kernel (0.834 ms ablated)
 and fft_conv3d_fused end-to-end (1.404 ms) goes. Times each XLA wrapper
 stage (pack, kernel spectra, unpack) and the pallas call alone."""
 import numpy as np

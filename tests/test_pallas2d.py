@@ -24,8 +24,8 @@ CONFIGS = [
     (2, 4, 4, 300, 256, 34, 34, 5),
     (1, 1, 1, 130, 140, 3, 5, 0),
     (1, 3, 2, 129, 130, 16, 16, 0),   # odd sizes, partial last tiles
-    (2, 8, 8, 180, 170, 16, 16, 2),   # cin%8==0: batch-channel v3 body
-    (1, 8, 3, 140, 260, 7, 9, 0),     # v3 body, uneven cout, wide W
+    (2, 8, 8, 180, 170, 16, 16, 2),   # benchmark-like channel counts
+    (1, 8, 3, 140, 260, 7, 9, 0),     # cin=8, uneven cout, wide W (nt2>2)
 ]
 
 
