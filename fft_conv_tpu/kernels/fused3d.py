@@ -17,6 +17,13 @@ stages are Mosaic page<->sublane transposes (measured near-free on v5e).
 Kernel spectra sampled at the 16 D-bins cost 16/KD x the tap-domain
 storage — (8, Cin, Cout, NBHP, 128) x2 stays inside the VMEM budget.
 
+v5 (round 3) stacks the v4 pipeline batch-channel style: channels ride
+the page dim and re/im ride stacked matmul rows (factor matrices f2/g2/
+w2/cr2 in _mats_v4), so each grid cell runs 8 full-width matmuls instead
+of ~10*(Cin+Cout) per-channel ones — kernel 0.83 -> 0.59 ms at the 64^3
+benchmark; with the all-matmul spectra below, end-to-end 0.94 ms (5.6x
+vs XLA direct conv; composed was 2.15).
+
 v2/v3 "tap" (9 < KD, fallback): D stays in the tap domain; a
 register-blocked VPU MAC walks (NBH-row, 8-page) blocks. History: v1
 (round 2) lost to the composed path (2.31 vs 2.08 ms at the reference
