@@ -8,8 +8,10 @@ dropped), with two gaps fixed: raw numbers are written to JSON (the
 reference ships only a PNG), and the fused Pallas path is swept alongside
 the composed path where applicable.
 
-Methods: fft_conv (composed XLA), fft_conv_fused (Pallas, 1D only),
-fft_conv_transpose, naive_conv / naive_conv_transpose
+Methods: fft_conv / fft_conv_transpose (auto-routed: fused Pallas where
+its plan fits, composed XLA otherwise), explicit fft_conv_fused /
+fft_conv_transpose_fused rows for every dimension (1D/2D/3D), and
+naive_conv / naive_conv_transpose
 (lax.conv_general_dilated / conv_transpose — the XLA direct baselines).
 
 Run:  python -m fft_conv_tpu.bench.generate_benchmark_plot [--out DIR]
@@ -19,6 +21,8 @@ import argparse
 import dataclasses
 import json
 import os
+import sys
+import time
 
 from typing import Callable, Dict, List, Optional, Tuple
 
@@ -81,9 +85,9 @@ def _naive_conv_transpose(ndim):
 
 
 def _methods(ndim) -> Dict[str, Callable]:
-    import jax.numpy as jnp
-
     from ..kernels.fused1d import fft_conv1d_fused, fft_conv_transpose1d_fused
+    from ..kernels.fused2d import fft_conv2d_fused, fft_conv_transpose2d_fused
+    from ..kernels.fused3d import fft_conv3d_fused, fft_conv_transpose3d_fused
     from ..ops.functional import fft_conv, fft_conv_transpose
 
     methods = {
@@ -92,11 +96,15 @@ def _methods(ndim) -> Dict[str, Callable]:
         "naive_conv": _naive_conv(ndim),
         "naive_conv_transpose": _naive_conv_transpose(ndim),
     }
-    if ndim == 1:
-        methods["fft_conv_fused"] = lambda s, k, b: fft_conv1d_fused(s, k, b)
-        methods["fft_conv_transpose_fused"] = (
-            lambda s, kt, b: fft_conv_transpose1d_fused(s, kt, b)
-        )
+    # explicit labeled fused rows for every dimension (the fused wrappers
+    # fall back to composed when no plan fits, e.g. kernel_size=1 in 1D)
+    fused, fused_t = {
+        1: (fft_conv1d_fused, fft_conv_transpose1d_fused),
+        2: (fft_conv2d_fused, fft_conv_transpose2d_fused),
+        3: (fft_conv3d_fused, fft_conv_transpose3d_fused),
+    }[ndim]
+    methods["fft_conv_fused"] = lambda s, k, b: fused(s, k, b)
+    methods["fft_conv_transpose_fused"] = lambda s, kt, b: fused_t(s, kt, b)
     return methods
 
 
@@ -128,7 +136,21 @@ def run_sweep(
     from .harness import benchmark_fori, peak_memory_gib
 
     configs = configs or CONFIGS
-    platform = jax.devices()[0].platform
+    # bounded retry against tunnel UNAVAILABLE at backend init (the same
+    # failure mode that ate the round-3 driver bench record)
+    deadline = time.monotonic() + 360.0
+    delay = 15.0
+    while True:
+        try:
+            platform = jax.devices()[0].platform
+            break
+        except Exception as e:
+            if time.monotonic() + delay > deadline:
+                raise
+            print(f"backend init failed ({e}); retrying in {delay:.0f}s",
+                  file=sys.stderr, flush=True)
+            time.sleep(delay)
+            delay = min(delay * 1.6, 90.0)
     rng = np.random.default_rng(0)
     rows = []
     for cfg in configs:

@@ -15,7 +15,9 @@ from .fused2d import (
 )
 from .fused3d import (
     fft_conv3d_fused,
+    fft_conv_transpose3d_fused,
     plan_3d,
+    plan_3d_blocked,
     plan_fft_conv3d,
     set_fused3d_precision,
 )
@@ -26,8 +28,10 @@ __all__ = [
     "fft_conv3d_fused",
     "fft_conv_transpose1d_fused",
     "fft_conv_transpose2d_fused",
+    "fft_conv_transpose3d_fused",
     "tile_plan_2d",
     "plan_3d",
+    "plan_3d_blocked",
     "set_fused3d_precision",
     "set_fused2d_precision",
     "plan_fft_conv1d",

@@ -606,6 +606,12 @@ def fft_conv_transpose1d_fused(
     ``lax.pad`` builds left pad K-1, interior stride-1 zeros, and right
     pad K-1+output_padding in a single op, exactly the composed path's
     transform (ops/functional.py:543-549) hoisted in front of the kernel.
+
+    Intentional divergence from torch: ``output_padding >= max(stride,
+    dilation)`` is NOT rejected (torch's ConvTransposeNd raises). The
+    reference skips the check too (functional.py:92-176), and this repo's
+    composed path accepts such configs with consistent semantics (extra
+    right zero-extension) — verified numerically against it.
     """
     if signal.ndim != 3 or kernel.ndim != 3:
         raise ValueError(

@@ -29,6 +29,7 @@ with the composed ops as backward (backward of valid cross-correlation is a
 pair of FFT convs — SURVEY §3.4).
 """
 
+import os
 from functools import lru_cache, partial
 from typing import Optional, Tuple
 
@@ -66,6 +67,31 @@ def set_fused2d_precision(mode: str) -> None:
         raise ValueError(f"unknown fused precision mode: {mode!r}")
     if mode != _PRECISION_2D:
         _PRECISION_2D = mode
+        _fused2d_call.cache_clear()
+
+
+# Tile-kernel generation: "v3" (round 4) stacks re/im into the ROWS of the
+# same 2D dots — the H-forward emits [hr; hi] from one f2=[fr; fi] matmul,
+# the W-forward runs 2 stacked dots instead of 4, and the inverse runs
+# H-first on the stacked [yr; yi] (4 dots at M=V1 instead of 4 at M=NB1 +
+# 2 at M=V1; transform order commutes). Rows padded NB1 -> NB1P (multiple
+# of 8) keep every stack slice sublane-aligned with zero copies. The MAC
+# is UNCHANGED from v2 (per-(o, c) elementwise FMA — the round-3
+# batch-channel port that also changed the MAC lost 75%). Pipeline-cycle
+# model (M+K per dot): ~25% fewer matmul cycles and ~40% fewer dot
+# dispatches per tile at the 512^2 K=16 benchmark shape. Default set by
+# TPU measurement (v5e): see the routing note added after the round-4
+# sweep. FFTCONV_2D_KERNEL overrides for measurement runs.
+_KERNEL2D_VERSION = os.environ.get("FFTCONV_2D_KERNEL", "v2")
+
+
+def set_fused2d_kernel(version: str) -> None:
+    """Selects the 2D tile-kernel generation ("v2" | "v3")."""
+    global _KERNEL2D_VERSION
+    if version not in ("v2", "v3"):
+        raise ValueError(f"unknown fused2d kernel version: {version!r}")
+    if version != _KERNEL2D_VERSION:
+        _KERNEL2D_VERSION = version
         _fused2d_call.cache_clear()
 _T2_CANDIDATES = (128, 256)
 # benchmarking hook: force the H FFT length (None = heuristic)
@@ -141,6 +167,35 @@ def _mats_2d(t1: int, nb1: int, t2: int, v1: int):
         np.ascontiguousarray(cr.T[:v1]),   # (V1, NB1)
         np.ascontiguousarray(ci.T[:v1]),
     )
+    return tuple(np.ascontiguousarray(m, np.float32) for m in out)
+
+
+@lru_cache(maxsize=None)
+def _mats_2d_v3(t1: int, nb1: int, nb1p: int, t2: int, v1: int):
+    """Split-f32 factors for the v3 stacked-rows kernel:
+      f2  (2*NB1P, T1)   [fr; fi] one-sided H fwd, zero rows >= NB1
+      wr/wi (T2, T2)     W full DFT fwd
+      ur/ui (T2, T2)     W full DFT inv
+      cz1 (V1, 2*NB1P)   [ cr | ci]: Re of the H-inverse on [yr; yi]
+      cz2 (V1, 2*NB1P)   [-ci | cr]: Im of the H-inverse
+    The inverse runs H-first (out = Re((C̄ Y) U), matching v2's
+    out = cr@Re(YU) + ci@Im(YU) = Re(C̄ (Y U)); transform order
+    commutes), so the stacked [yr; yi] MAC result feeds cz1/cz2 directly
+    and only two real dots go through the W inverse."""
+    fr, fi = _rfft_mats(t1)            # (T1, NB1)
+    wr, wi = _dft_mats(t2, inverse=False)
+    ur, ui = _dft_mats(t2, inverse=True)
+    cr, ci = _irfft_mats(t1)           # (NB1, T1)
+    f2 = np.zeros((2 * nb1p, t1), np.float32)
+    f2[:nb1] = fr.T
+    f2[nb1p:nb1p + nb1] = fi.T
+    cz1 = np.zeros((v1, 2 * nb1p), np.float32)
+    cz1[:, :nb1] = cr.T[:v1]
+    cz1[:, nb1p:nb1p + nb1] = ci.T[:v1]
+    cz2 = np.zeros((v1, 2 * nb1p), np.float32)
+    cz2[:, :nb1] = -ci.T[:v1]
+    cz2[:, nb1p:nb1p + nb1] = cr.T[:v1]
+    out = (f2, wr, wi, ur, ui, cz1, cz2)
     return tuple(np.ascontiguousarray(m, np.float32) for m in out)
 
 
@@ -253,27 +308,94 @@ def _make_kernel_2d(t1, nb1, t2, v1, v2, nt2, cin, cout, groups, precision):
     return body
 
 
+def _make_kernel_2d_v3(t1, nb1p, t2, v1, v2, nt2, cin, cout, groups,
+                       precision):
+    """v3 stacked-rows body — see the _KERNEL2D_VERSION note. MAC and DMA
+    identical to v2; only the transform dot structure differs."""
+    cpg = cin // groups
+    opg = cout // groups
+
+    def body(
+        x_hbm, kr_ref, ki_ref,
+        f2, wr, wi, ur, ui, cz1, cz2,
+        out_ref, x_vmem, dma_sem,
+    ):
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        dma = pltpu.make_async_copy(
+            x_hbm.at[b, :, :, pl.ds(i * v1, t1), :],
+            x_vmem, dma_sem,
+        )
+        dma.start()
+        dma.wait()
+
+        f2m = f2[...]                # (2*NB1P, T1)
+        wrm, wim = wr[...], wi[...]  # (T2, T2)
+        urm, uim = ur[...], ui[...]
+        cz1m, cz2m = cz1[...], cz2[...]  # (V1, 2*NB1P)
+        dn2 = (((1,), (0,)), ((), ()))
+
+        for j in range(nt2):
+            # forward: ONE stacked H dot emits [hr; hi]; two stacked W
+            # dots replace four (row slices at NB1P are sublane-aligned)
+            drs, dis = [], []
+            for c in range(cin):
+                a = x_vmem[c, j]                       # (T1, T2) real
+                b2 = _dot(f2m, a, dn2, precision)      # (2*NB1P, T2)
+                d1 = _dot(b2, wrm, dn2, precision)     # [hr@wr; hi@wr]
+                d2 = _dot(b2, wim, dn2, precision)     # [hr@wi; hi@wi]
+                drs.append(d1[:nb1p] - d2[nb1p:])      # (NB1P, T2)
+                dis.append(d2[:nb1p] + d1[nb1p:])
+            # grouped per-bin MAC (VPU, v2-identical; spectra rows padded
+            # to NB1P with zeros), then the H-first stacked inverse
+            for o in range(cout):
+                go = o // opg
+                yr = yi = None
+                for cg in range(cpg):
+                    c = go * cpg + cg
+                    kro = kr_ref[o, cg]  # (NB1P, T2)
+                    kio = ki_ref[o, cg]
+                    tr = drs[c] * kro - dis[c] * kio
+                    ti = drs[c] * kio + dis[c] * kro
+                    yr = tr if yr is None else yr + tr
+                    yi = ti if yi is None else yi + ti
+                y2 = jnp.concatenate([yr, yi], axis=0)  # (2*NB1P, T2)
+                zr = _dot(cz1m, y2, dn2, precision)     # (V1, T2)
+                zi = _dot(cz2m, y2, dn2, precision)
+                out = (
+                    _dot(zr, urm, dn2, precision)
+                    - _dot(zi, uim, dn2, precision)
+                )
+                out_ref[0, 0, :, o, j, :] = out
+
+    return body
+
+
 @lru_cache(maxsize=None)
 def _fused2d_call(
-    b, nt1, nt2, t1, nb1, t2, v1, v2, cin, cout, groups, precision, interpret
+    b, nt1, nt2, t1, nb1, t2, v1, v2, cin, cout, groups, precision, interpret,
+    version="v2",
 ):
     if interpret and precision == "bf16x3":
         precision = "bf16x3_exact"  # see fused1d._dot3
     cpg = cin // groups
+    nb1p = -(-nb1 // 8) * 8
+    nb1k = nb1p if version == "v3" else nb1  # resident spectra rows
     mat_spec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+    nmats = 7 if version == "v3" else 8
     grid_spec = pl.GridSpec(
         grid=(b, nt1),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # x in HBM
             pl.BlockSpec(
-                (cout, cpg, nb1, t2), lambda b_, i: (0, 0, 0, 0),
+                (cout, cpg, nb1k, t2), lambda b_, i: (0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (cout, cpg, nb1, t2), lambda b_, i: (0, 0, 0, 0),
+                (cout, cpg, nb1k, t2), lambda b_, i: (0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-        ] + [mat_spec() for _ in range(8)],
+        ] + [mat_spec() for _ in range(nmats)],
         out_specs=pl.BlockSpec(
             (1, 1, v1, cout, nt2, t2),
             lambda b_, i: (b_, i, 0, 0, 0, 0),
@@ -284,16 +406,19 @@ def _fused2d_call(
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    # per-cell matmul flops (one real mul-add = 2 flops)
+    # per-cell matmul flops (one real mul-add = 2 flops; v3 does the same
+    # MACs on padded rows — close enough for the scheduler's estimate)
     cell = 2 * nt2 * t2 * (
         2 * nb1 * t1 * cin           # H fwd
         + 4 * nb1 * cin * t2         # W fwd
         + 4 * nb1 * cout * t2        # W inv
         + 2 * v1 * nb1 * cout        # H inv
     )
+    make = _make_kernel_2d_v3 if version == "v3" else _make_kernel_2d
+    body_nb1 = nb1p if version == "v3" else nb1
     return pl.pallas_call(
-        _make_kernel_2d(t1, nb1, t2, v1, v2, nt2, cin, cout, groups,
-                        precision),
+        make(t1, body_nb1, t2, v1, v2, nt2, cin, cout, groups,
+             precision),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (b, nt1, v1, cout, nt2, t2), jnp.float32
@@ -349,11 +474,22 @@ def _fused2d_forward(x_padded, kernel, out_hw, groups=1, spectra=None):
         if spectra is not None
         else _kernel_spectra_2d(kernel.astype(jnp.float32), t1, nb1, t2)
     )
-    mats = [jnp.asarray(m) for m in _mats_2d(t1, nb1, t2, v1)]
+    version = _KERNEL2D_VERSION
+    if version == "v3":
+        nb1p = -(-nb1 // 8) * 8
+        if nb1p != nb1:
+            # zero rows multiply zero spectra -> contribute nothing via
+            # the zero cz1/cz2 columns; keeps every stack slice 8-aligned
+            pad = ((0, 0), (0, 0), (0, nb1p - nb1), (0, 0))
+            kr = jnp.pad(kr, pad)
+            ki = jnp.pad(ki, pad)
+        mats = [jnp.asarray(m) for m in _mats_2d_v3(t1, nb1, nb1p, t2, v1)]
+    else:
+        mats = [jnp.asarray(m) for m in _mats_2d(t1, nb1, t2, v1)]
 
     call = _fused2d_call(
         b, nt1, nt2, t1, nb1, t2, v1, v2, cin, cout, groups,
-        _PRECISION_2D, _is_cpu(),
+        _PRECISION_2D, _is_cpu(), version,
     )
     out = call(x, kr, ki, *mats)
     # (B, nt1, V1, Cout, nt2, T2): crop W valid, stitch, crop to out_hw

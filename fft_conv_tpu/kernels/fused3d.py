@@ -128,34 +128,65 @@ def _tap_counts(kd: int) -> Tuple[int, int]:
     return me, (mo + 1) if mo else 0
 
 
+@lru_cache(maxsize=None)
 def plan_3d(cin: int, cout: int, d: int, h: int, w: int,
-            kd: int, kh: int, kw: int):
+            kd: int, kh: int, kw: int, groups: int = 1):
     """Mode-tagged fused-3D plan, or None when nothing fits.
 
     ('v4', nbh, nbhp, pp, nbd, vdp) — overlap-save-D kernel (kd <= 9):
     blocked DFT-16 along D turns the tap MAC into a pointwise frequency
     MAC (~KD x fewer VPU flops). ('tap', nbh, vdp, pages) — the v3
     tap-domain MAC kernel, kept for larger KD. Eligibility: W fits one
-    lane half, kernel spectra and per-cell scratch inside their VMEM
-    budgets, groups handled by the caller."""
+    lane half (see ``plan_3d_blocked`` for wider W), kernel spectra and
+    per-cell scratch inside their VMEM budgets. ``cin`` is the TOTAL
+    in-channel count; ``groups`` restricts each out-channel's MAC to its
+    group's cin/groups slice (static slices in both kernels)."""
     if w > _TW or kd > d or kh > h or kw > w:
         return None
-    v4 = _plan_v4(cin, cout, d, h, w, kd, kh, kw)
+    if cin % groups or cout % groups:
+        return None
+    v4 = _plan_v4(cin, cout, d, h, w, kd, kh, kw, groups)
     if v4 is not None:
         return v4
-    return _plan_tap(cin, cout, d, h, w, kd, kh, kw)
+    return _plan_tap(cin, cout, d, h, w, kd, kh, kw, groups)
+
+
+def plan_3d_blocked(cin: int, cout: int, d: int, h: int, w: int,
+                    kd: int, kh: int, kw: int, groups: int = 1):
+    """(plan, nwb, hop): the W-overlap-save extension of ``plan_3d``.
+
+    W <= 64 runs the kernel directly (nwb=1). Wider W is cut into nwb
+    overlapping width-64 blocks on a 64-kw+1 hop, stacked into the batch
+    grid dim (each block is a full-lane-occupancy kernel cell); the
+    wrapper concatenates the per-block valid outputs. This is what makes
+    the fused 3D TRANSPOSED conv possible at the reference benchmark
+    shape: the stuffed full-correlation volume at 64^3 K=8 is 78^3, so no
+    axis fits one lane half (reference transpose semantics
+    functional.py:92-176)."""
+    if w <= _TW:
+        plan = plan_3d(cin, cout, d, h, w, kd, kh, kw, groups)
+        return None if plan is None else (plan, 1, w - kw + 1)
+    if kw > _TW:
+        return None
+    hop = _TW - kw + 1
+    ow = w - kw + 1
+    nwb = -(-ow // hop)
+    plan = plan_3d(cin, cout, d, h, _TW, kd, kh, kw, groups)
+    return None if plan is None else (plan, nwb, hop)
 
 
 def _plan_v4(cin: int, cout: int, d: int, h: int, w: int,
-             kd: int, kh: int, kw: int):
+             kd: int, kh: int, kw: int, groups: int = 1):
     """Overlap-save-D plan: D is cut into length-16 blocks on an 8-sample
     hop (blocks start at even d, so the d-pair lane packing survives);
     each block is DFT-16'd by one windowed MXU matmul plus a packed
     radix-2 butterfly (16 bins live in 8 page-rows x 2 lane halves)."""
     if kd > 9:
         return None  # hop = 16 - kd + 1 floored to 8 needs kd <= 9
-    if cin * cout > 128:
-        return None  # MAC unrolls cout*cin statements per fori body
+    if (cin // groups) * cout > 128:
+        return None  # MAC unrolls cout*(cin/g) statements per fori body
+    if cin > 128:
+        return None  # fwd W/butterfly stages unroll one chunk per channel
     nbh = h // 2 + 1
     nbhp = -(-nbh // 8) * 8
     vd = d - kd + 1
@@ -164,7 +195,7 @@ def _plan_v4(cin: int, cout: int, d: int, h: int, w: int,
     r = 8 * nbd
     vdp = -(-(4 * nbd) // 8) * 8
     vh = h - kh + 1
-    if 8 * cin * cout * nbhp * 128 * 8 > _KER_VMEM_BUDGET:
+    if 8 * (cin // groups) * cout * nbhp * 128 * 8 > _KER_VMEM_BUDGET:
         return None
     # static scratch (XD doubles as x staging, tr is shared fwd/inv) +
     # the largest stacked live values (G / Z, ~2R x C*NBHP) + the
@@ -179,17 +210,25 @@ def _plan_v4(cin: int, cout: int, d: int, h: int, w: int,
         + 2 * r * max(cin, cout) * nbhp                        # live G / Z
         + 8 * nbhp * max(pp, vdp)                              # chunk temps
     ) * 128 * 4
+    # factor matrices (_mats_v4): f2 (2*NBHP, H), 4x block-diag (128,128),
+    # g2 (2R, 2PP), 4x twiddles (R, 1, 128), w2 (2*VDP, 2R), cr2 (VH,
+    # 2*NBHP) — they scale with H/R/PP and count against the same
+    # vmem_limit, so a near-budget cell can't fail Mosaic allocation
+    cell += (
+        2 * nbhp * h + 4 * 128 * 128 + 2 * r * 2 * pp
+        + 4 * r * 128 + 2 * vdp * 2 * r + vh * 2 * nbhp
+    ) * 4
     if cell > _VOL_VMEM_BUDGET:
         return None
     return ("v4", nbh, nbhp, pp, nbd, vdp)
 
 
 def _plan_tap(cin: int, cout: int, d: int, h: int, w: int,
-              kd: int, kh: int, kw: int):
+              kd: int, kh: int, kw: int, groups: int = 1):
     nbh = h // 2 + 1
     me, mr = _tap_counts(kd)
     taps = me + mr
-    if cout * taps * cin * nbh * 128 * 8 > _KER_VMEM_BUDGET:
+    if cout * taps * (cin // groups) * nbh * 128 * 8 > _KER_VMEM_BUDGET:
         return None
     vd = d - kd + 1
     # VDP (MAC block span, sublane dim), the MAC window and the page count
@@ -450,11 +489,12 @@ def _kernel_spectra_v4(kernel: jax.Array, h: int, nbh: int, nbhp: int):
     return kr, ki
 
 
-def _make_kernel_v4(cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh, precision):
+def _make_kernel_v4(cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh, precision,
+                    groups=1):
     """Overlap-save-D kernel body, batch-channel edition. Logical shapes:
       x        (H, Cin*PP, 128)   packed d-pair lanes, channels stacked
                                   along the page dim (one DMA per cell)
-      kr/ki    (8, Cin, Cout, NBHP, 128)
+      kr/ki    (8, Cin/g, Cout, NBHP, 128)
       out_ref  (1, VH, Cout*VDP, 128)
 
     Every transform runs as ONE matmul over the full channel-stacked
@@ -463,10 +503,13 @@ def _make_kernel_v4(cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh, precision):
     grid cell instead of ~10*(Cin+Cout) per-channel ones. Elementwise
     stages (W-combine, butterflies, page/sublane transposes) are chunked
     per channel so the live VMEM temporaries stay a few MB. MAC:
-    pointwise complex multiply-accumulate over Cin per (f8, fh-chunk),
-    each Y cell written exactly once (no RMW)."""
+    pointwise complex multiply-accumulate over each out-channel's group
+    slice of Cin per (f8, fh-chunk) — group slices are static — each Y
+    cell written exactly once (no RMW)."""
     r_ = 8 * nbd
     nch = nbhp // 8
+    cpg = cin // groups
+    opg = cout // groups
 
     def body(
         x_hbm, kr_ref, ki_ref,
@@ -546,11 +589,12 @@ def _make_kernel_v4(cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh, precision):
                          pl.dslice(c * nbhp + ch, 8), :],
                 ))
             for o in range(cout):
+                go = o // opg
                 ar = ai = None
-                for c in range(cin):
-                    xr, xi = xs[c]                   # (NBD, 8, 128)
-                    kro = kr_ref[f8, c, o, pl.dslice(ch, 8), :][None]
-                    kio = ki_ref[f8, c, o, pl.dslice(ch, 8), :][None]
+                for ci in range(cpg):
+                    xr, xi = xs[go * cpg + ci]       # (NBD, 8, 128)
+                    kro = kr_ref[f8, ci, o, pl.dslice(ch, 8), :][None]
+                    kio = ki_ref[f8, ci, o, pl.dslice(ch, 8), :][None]
                     tr = xr * kro - xi * kio
                     ti = xr * kio + xi * kro
                     ar = tr if ar is None else ar + tr
@@ -609,13 +653,14 @@ def _make_kernel_v4(cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh, precision):
 
 @lru_cache(maxsize=None)
 def _fused3d_call_v4(b, cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh,
-                     precision, interpret):
+                     precision, interpret, groups=1):
     if interpret and precision == "bf16x3":
         precision = "bf16x3_exact"  # see fused1d._dot3
     r_ = 8 * nbd
+    cpg = cin // groups
     mat_spec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     spec_block = lambda: pl.BlockSpec(  # noqa: E731
-        (8, cin, cout, nbhp, 128), lambda b_: (0, 0, 0, 0, 0),
+        (8, cpg, cout, nbhp, 128), lambda b_: (0, 0, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
     grid_spec = pl.GridSpec(
@@ -644,12 +689,12 @@ def _fused3d_call_v4(b, cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh,
     flops = b * 2 * (
         cin * (2 * nbhp * h + 4 * 128) * pp * 128            # H + W fwd
         + 4 * r_ * nbhp * 128 * (cin * pp + cout * vdp)      # D fwd/inv
-        + cout * cin * r_ * nbhp * 128 * 4                   # MAC (VPU)
+        + cout * cpg * r_ * nbhp * 128 * 4                   # MAC (VPU)
         + cout * (4 * 128 + 2 * vh * nbh / 128) * vdp * 128  # W/H inv
     )
     return pl.pallas_call(
         _make_kernel_v4(cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh,
-                        precision),
+                        precision, groups),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (b, vh, cout * vdp, 128), jnp.float32),
@@ -666,10 +711,11 @@ def _fused3d_call_v4(b, cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh,
     )
 
 
-def _make_kernel_3d(cin, cout, h, nbh, pages, vdp, vh, me, mr, precision):
+def _make_kernel_3d(cin, cout, h, nbh, pages, vdp, vh, me, mr, precision,
+                    groups=1):
     """Kernel body. Logical shapes:
       x        (Cin, H, P, 128)  packed lanes (d-pair, w)
-      kr/ki    (Cout, ME+MR, Cin, NBH, 128)
+      kr/ki    (NBH, Cin/g, ME+MR, Cout, 128)
       out_ref  (1, Cout, VH, VDP, 128)
 
     Lowering rules (hard-won in v1, kernels/fused3d.py r2): leading/minor
@@ -680,6 +726,8 @@ def _make_kernel_3d(cin, cout, h, nbh, pages, vdp, vh, me, mr, precision):
     slices for the tap MAC."""
     maxoff = max(me - 1, mr - 1 if mr else 0)
     wrows = -(-(8 + maxoff) // 8) * 8
+    cpg = cin // groups
+    opg = cout // groups
 
     def body(
         x_hbm, kr_ref, ki_ref,
@@ -738,18 +786,19 @@ def _make_kernel_3d(cin, cout, h, nbh, pages, vdp, vh, me, mr, precision):
             if mr:
                 xw_rr = rr_s[:, n, pl.dslice(v8, wrows), :]
                 xw_ri = ri_s[:, n, pl.dslice(v8, wrows), :]
-            kn_r = kr_ref[n]                    # (Cin, T, Cout, 128)
+            kn_r = kr_ref[n]                    # (Cin/g, T, Cout, 128)
             kn_i = ki_ref[n]
             for o in range(cout):
+                gs = (o // opg) * cpg           # static group slice of Cin
                 yr = yi = None
                 for t in range(me + mr):
                     if t < me:
-                        xr = xw_sr[:, t:t + 8, :]
-                        xi = xw_si[:, t:t + 8, :]
+                        xr = xw_sr[gs:gs + cpg, t:t + 8, :]
+                        xi = xw_si[gs:gs + cpg, t:t + 8, :]
                     else:
-                        xr = xw_rr[:, t - me:t - me + 8, :]
-                        xi = xw_ri[:, t - me:t - me + 8, :]
-                    kro = kn_r[:, t, o][:, None, :]   # (Cin, 1, 128)
+                        xr = xw_rr[gs:gs + cpg, t - me:t - me + 8, :]
+                        xi = xw_ri[gs:gs + cpg, t - me:t - me + 8, :]
+                    kro = kn_r[:, t, o][:, None, :]   # (Cin/g, 1, 128)
                     kio = kn_i[:, t, o][:, None, :]
                     tr = jnp.sum(xr * kro - xi * kio, axis=0)
                     ti = jnp.sum(xr * kio + xi * kro, axis=0)
@@ -788,21 +837,22 @@ def _make_kernel_3d(cin, cout, h, nbh, pages, vdp, vh, me, mr, precision):
 
 @lru_cache(maxsize=None)
 def _fused3d_call(b, cin, cout, h, nbh, pages, vdp, vh, me, mr, precision,
-                  interpret):
+                  interpret, groups=1):
     if interpret and precision == "bf16x3":
         precision = "bf16x3_exact"  # see fused1d._dot3
     taps = me + mr
+    cpg = cin // groups
     mat_spec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     grid_spec = pl.GridSpec(
         grid=(b,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # x (B, Cin, H, P, 128) HBM
             pl.BlockSpec(
-                (nbh, cin, taps, cout, 128), lambda b_: (0, 0, 0, 0, 0),
+                (nbh, cpg, taps, cout, 128), lambda b_: (0, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (nbh, cin, taps, cout, 128), lambda b_: (0, 0, 0, 0, 0),
+                (nbh, cpg, taps, cout, 128), lambda b_: (0, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ] + [mat_spec() for _ in range(8)],
@@ -825,11 +875,11 @@ def _fused3d_call(b, cin, cout, h, nbh, pages, vdp, vh, me, mr, precision,
     flops = b * 2 * (
         cin * (2 * nbh * h + 4 * 128) * pages * 128          # fwd
         + cout * (4 * 128 + 2 * vh * nbh / 128) * vdp * 128  # inv
-        + cout * cin * taps * nbh * vdp * 128 * 4            # MAC (VPU)
+        + cout * cpg * taps * nbh * vdp * 128 * 4            # MAC (VPU)
     )
     return pl.pallas_call(
         _make_kernel_3d(cin, cout, h, nbh, pages, vdp, vh, me, mr,
-                        precision),
+                        precision, groups),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, cout, vh, vdp, 128), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -849,15 +899,43 @@ def _is_cpu() -> bool:
     return jax.devices()[0].platform == "cpu"
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _fused3d_core(x_padded, kernel, out_dhw: Tuple[int, int, int]):
-    return _fused3d_forward(x_padded, kernel, out_dhw)
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _fused3d_core(x_padded, kernel, out_dhw: Tuple[int, int, int],
+                  groups: int = 1):
+    return _fused3d_forward(x_padded, kernel, out_dhw, groups)
 
 
-def _fused3d_forward(x_padded, kernel, out_dhw, spectra=None):
+def _fused3d_forward(x_padded, kernel, out_dhw, groups=1, spectra=None):
     b, cin, d, h, w = x_padded.shape
     cout, cpg, kd, kh, kw = kernel.shape
-    plan = plan_3d(cin, cout, d, h, w, kd, kh, kw)
+    od, oh, ow = out_dhw
+
+    # W wider than one lane half: overlap-save along W in the wrapper —
+    # width-64 blocks on a 64-kw+1 hop stacked into the batch grid dim;
+    # per-block valid outputs concatenate to the full W output. Kernel
+    # spectra are W-length-independent (the W DFT is always _TW-point),
+    # so all blocks share one spectra set.
+    b0, nwb = b, 1
+    if w > _TW:
+        hop = _TW - kw + 1
+        nwb = -(-ow // hop)
+        need = (nwb - 1) * hop + _TW
+        if need > w:
+            x_padded = jnp.pad(
+                x_padded, ((0, 0),) * 4 + ((0, need - w),)
+            )
+        x_padded = jnp.stack(
+            [
+                lax.slice_in_dim(x_padded, i * hop, i * hop + _TW, axis=4)
+                for i in range(nwb)
+            ],
+            axis=1,
+        ).reshape(b * nwb, cin, d, h, _TW)
+        b, w, ow_blk = b * nwb, _TW, hop
+    else:
+        ow_blk = ow
+
+    plan = plan_3d(cin, cout, d, h, w, kd, kh, kw, groups)
     if plan is None:
         raise ValueError("no fused 3D configuration fits this shape")
     if plan[0] == "v4":
@@ -865,7 +943,6 @@ def _fused3d_forward(x_padded, kernel, out_dhw, spectra=None):
     else:
         _, nbh, vdp, pages = plan
         me, mr = _tap_counts(kd)
-    od, oh, ow = out_dhw
     vh = h - kh + 1
 
     # pack lanes: two consecutive D-slabs share one 128-lane tile
@@ -888,46 +965,71 @@ def _fused3d_forward(x_padded, kernel, out_dhw, spectra=None):
         mats = [jnp.asarray(m) for m in _mats_v4(h, vh, nbd, pages)]
         call = _fused3d_call_v4(
             b, cin, cout, h, nbh, nbhp, pages, nbd, vdp, vh,
-            _PRECISION_3D, _is_cpu(),
+            _PRECISION_3D, _is_cpu(), groups,
         )
         out = call(x, kr, ki, *mats)    # (B, VH, Cout*VDP, 128)
         out = out.reshape(b, vh, cout, vdp, 2, _TW)
         out = jnp.transpose(out, (0, 2, 3, 4, 1, 5))
         out = out.reshape(b, cout, 2 * vdp, vh, _TW)
-        return out[:, :, :od, :oh, :ow]
+        out = out[:, :, :od, :oh, :ow_blk]
+    else:
+        # tap path: xp[b, c, h, p, TW*s + w] = x[b, c, 2p + s, h, w]
+        x = jnp.transpose(x, (0, 1, 4, 2, 3, 5))
+        x = x.reshape(b, cin, h, pages, 2 * _TW)
+        kr, ki = (
+            spectra
+            if spectra is not None
+            else _kernel_spectra_3d(kernel.astype(jnp.float32), h, nbh)
+        )
+        mats = [jnp.asarray(m) for m in _mats_3d(h, vh)]
+        call = _fused3d_call(
+            b, cin, cout, h, nbh, pages, vdp, vh, me, mr,
+            _PRECISION_3D, _is_cpu(), groups,
+        )
+        out = call(x, kr, ki, *mats)        # (B, Cout, VH, VDP, 128)
+        # unpack lanes -> D pages, crop to the valid output box
+        out = out.reshape(b, cout, vh, vdp, 2, _TW)
+        out = jnp.transpose(out, (0, 1, 3, 4, 2, 5))
+        out = out.reshape(b, cout, 2 * vdp, vh, _TW)
+        out = out[:, :, :od, :oh, :ow_blk]
 
-    # tap path: xp[b, c, h, p, TW*s + w] = x[b, c, 2p + s, h, w]
-    x = jnp.transpose(x, (0, 1, 4, 2, 3, 5))
-    x = x.reshape(b, cin, h, pages, 2 * _TW)
-    kr, ki = (
-        spectra
-        if spectra is not None
-        else _kernel_spectra_3d(kernel.astype(jnp.float32), h, nbh)
+    if nwb > 1:
+        out = out.reshape(b0, nwb, cout, od, oh, ow_blk)
+        out = jnp.transpose(out, (0, 2, 3, 4, 1, 5))
+        out = out.reshape(b0, cout, od, oh, nwb * ow_blk)[..., :ow]
+    return out
+
+
+def _fused3d_fwd(x_padded, kernel, out_dhw, groups):
+    return (
+        _fused3d_forward(x_padded, kernel, out_dhw, groups),
+        (x_padded, kernel),
     )
-    mats = [jnp.asarray(m) for m in _mats_3d(h, vh)]
-    call = _fused3d_call(
-        b, cin, cout, h, nbh, pages, vdp, vh, me, mr,
-        _PRECISION_3D, _is_cpu(),
-    )
-    out = call(x, kr, ki, *mats)        # (B, Cout, VH, VDP, 128)
-    # unpack lanes -> D pages, crop to the valid output box
-    out = out.reshape(b, cout, vh, vdp, 2, _TW)
-    out = jnp.transpose(out, (0, 1, 3, 4, 2, 5))
-    out = out.reshape(b, cout, 2 * vdp, vh, _TW)
-    return out[:, :, :od, :oh, :ow]
 
 
-def _fused3d_fwd(x_padded, kernel, out_dhw):
-    return _fused3d_forward(x_padded, kernel, out_dhw), (x_padded, kernel)
-
-
-def _fused3d_bwd(out_dhw, residuals, g):
+def _fused3d_bwd(out_dhw, groups, residuals, g):
     x_padded, kernel = residuals
-    dx = F.fft_conv_transpose(g, kernel, impl="xla")
-    dw = F.fft_conv(
-        jnp.swapaxes(x_padded, 0, 1), jnp.swapaxes(g, 0, 1), impl="xla"
-    )
-    return dx, jnp.swapaxes(dw, 0, 1)
+    # dx: the forward kernel layout (Cout, Cin/g, *K) is exactly
+    # conv_transpose's (in=Cout, out/g=Cin/g, *K) layout, groups included
+    dx = F.fft_conv_transpose(g, kernel, groups=groups, impl="xla")
+    if groups == 1:
+        dw = F.fft_conv(
+            jnp.swapaxes(x_padded, 0, 1), jnp.swapaxes(g, 0, 1), impl="xla"
+        )
+        return dx, jnp.swapaxes(dw, 0, 1)
+    # grouped dw: correlation with batch as the contraction channel, per
+    # group (3D analog of fused1d._fused_bwd)
+    b, cin = x_padded.shape[:2]
+    cout = g.shape[1]
+    cpg, opg = cin // groups, cout // groups
+    xg = jnp.moveaxis(
+        x_padded.reshape(b, groups, cpg, *x_padded.shape[2:]), 0, 2
+    )                                    # (groups, Cin/g, B, *spatial)
+    gg = jnp.moveaxis(g.reshape(b, groups, opg, *g.shape[2:]), 0, 2)
+    dw = jax.vmap(lambda a, c: F.fft_conv(a, c, impl="xla"))(xg, gg)
+    # (groups, Cin/g, Cout/g, *K) -> (Cout, Cin/g, *K)
+    dw = jnp.swapaxes(dw, 1, 2).reshape(cout, cpg, *dw.shape[3:])
+    return dx, dw
 
 
 _fused3d_core.defvjp(_fused3d_fwd, _fused3d_bwd)
@@ -1001,7 +1103,7 @@ def _fused3d_planned_fwd(x_padded, kernel, kr, ki, out_dhw):
 
 
 def _fused3d_planned_bwd(out_dhw, residuals, g):
-    dx, dw = _fused3d_bwd(out_dhw, residuals, g)
+    dx, dw = _fused3d_bwd(out_dhw, 1, residuals, g)
     return dx, dw, None, None
 
 
@@ -1016,15 +1118,17 @@ def fft_conv3d_fused(
     padding_mode: str = "constant",
     stride=1,
     dilation=1,
+    groups: int = 1,
 ) -> jax.Array:
-    """Fused-Pallas 3D FFT convolution; torch conv3d semantics for the
-    supported surface (groups=1; padding/padding_mode/stride/dilation via
-    wrapper transforms). Falls back to the composed path when no plan fits.
-    """
+    """Fused-Pallas 3D FFT convolution; torch conv3d semantics
+    (padding/padding_mode/stride/dilation via wrapper transforms; groups
+    via static group-sliced MACs in the kernel; W wider than one lane
+    half via wrapper overlap-save W-blocking — see ``plan_3d_blocked``).
+    Falls back to the composed path when no plan fits."""
     if signal.ndim != 5 or kernel.ndim != 5:
         raise ValueError(
             "fft_conv3d_fused expects (B, Cin, D, H, W) and "
-            "(Cout, Cin, KD, KH, KW)"
+            "(Cout, Cin/g, KD, KH, KW)"
         )
     padding_ = to_ntuple(padding, 3)
     stride_ = to_ntuple(stride, 3)
@@ -1033,23 +1137,107 @@ def fft_conv3d_fused(
     x = F._pad_signal(signal, padding_, padding_mode)
     b, cin, d, h, w = x.shape
     cout, cpg, kd, kh, kw = kernel.shape
-    if cpg != cin:
+    if cpg * groups != cin:
         raise ValueError(
-            f"fused 3D kernel supports groups=1 only (kernel Cin {cpg} != "
-            f"signal Cin {cin})"
+            f"kernel Cin/groups {cpg} x groups {groups} != signal Cin {cin}"
+        )
+    if cout % groups:
+        raise ValueError(
+            f"out_channels {cout} not divisible by groups {groups}"
         )
     if kd > d or kh > h or kw > w:
         raise ValueError("Kernel size can't be greater than actual input size")
 
     od, oh, ow = d - kd + 1, h - kh + 1, w - kw + 1
-    if plan_3d(cin, cout, d, h, w, kd, kh, kw) is None:
+    if plan_3d_blocked(cin, cout, d, h, w, kd, kh, kw, groups) is None:
         out = F.fft_conv(signal, kernel, None, padding=padding_,
-                         padding_mode=padding_mode, impl="xla")
+                         groups=groups, padding_mode=padding_mode,
+                         impl="xla")
     else:
         out = _fused3d_core(x.astype(jnp.float32),
-                            kernel.astype(jnp.float32), (od, oh, ow))
+                            kernel.astype(jnp.float32), (od, oh, ow),
+                            groups)
     if stride_ != (1, 1, 1):
         out = out[:, :, ::stride_[0], ::stride_[1], ::stride_[2]]
     if bias is not None:
         out = out + bias.reshape(1, -1, 1, 1, 1)
     return out.astype(signal.dtype)
+
+
+def fft_conv_transpose3d_fused(
+    signal: jax.Array,
+    kernel: jax.Array,
+    bias: Optional[jax.Array] = None,
+    padding=0,
+    stride=1,
+    dilation=1,
+    groups: int = 1,
+    output_padding=0,
+) -> jax.Array:
+    """Fused-Pallas 3D transposed convolution, full argument surface.
+
+    A transposed conv is the full correlation of the interior-zero-stuffed
+    signal with the spatially-flipped, (Cin,Cout)-swapped, dilated kernel
+    (reference functional.py:109-139), cropped by ``padding`` per side —
+    so every configuration rides the unit-stride fused conv kernel, with
+    one ``lax.pad`` per call building left pad K-1, interior stride-1
+    zeros, and right pad K-1+output_padding (the composed path's
+    transform hoisted in front of the kernel, as in fused1d/fused2d). The
+    stuffed volume's W exceeds one lane half at typical shapes (e.g. 78^3
+    at the 64^3 K=8 reference benchmark), so this path relies on the
+    W-overlap-save blocking in ``fft_conv3d_fused``.
+
+    Same intentional torch divergence as the 1D/2D wrappers: oversized
+    ``output_padding`` is accepted (consistent with the composed path).
+    """
+    if signal.ndim != 5 or kernel.ndim != 5:
+        raise ValueError(
+            "fft_conv_transpose3d_fused expects (B, Cin, D, H, W) and "
+            "(Cin, Cout/g, KD, KH, KW)"
+        )
+    padding_ = to_ntuple(padding, 3)
+    stride_ = to_ntuple(stride, 3)
+    dilation_ = to_ntuple(dilation, 3)
+    output_padding_ = to_ntuple(output_padding, 3)
+    cin, cout_g = kernel.shape[:2]
+    k_spatial = kernel.shape[2:]
+    if signal.shape[1] != cin:
+        raise ValueError(f"kernel Cin {cin} != signal Cin {signal.shape[1]}")
+    if cin % groups:
+        raise ValueError(
+            f"in_channels {cin} not divisible by groups {groups}"
+        )
+    # flip + group-swap (Cin, Cout/g, *K) -> (Cout, Cin/g, *K), then dilate
+    w = jnp.flip(kernel, axis=(2, 3, 4))
+    w = w.reshape(groups, cin // groups, cout_g, *k_spatial)
+    w = jnp.swapaxes(w, 1, 2).reshape(
+        groups * cout_g, cin // groups, *k_spatial
+    )
+    w = F._dilate_kernel(w, dilation_)
+    k_dil = w.shape[2:]
+    out_shape = tuple(
+        (s - 1) * t - 2 * p + kd_ + op
+        for s, t, p, kd_, op in zip(
+            signal.shape[2:], stride_, padding_, k_dil, output_padding_
+        )
+    )
+    if any(o < 1 for o in out_shape):
+        raise ValueError(
+            f"non-positive output shape {out_shape} (spatial "
+            f"{signal.shape[2:]}, kernel {k_spatial}, padding {padding_})"
+        )
+    config = [(0, 0, 0), (0, 0, 0)] + [
+        (kd_ - 1, kd_ - 1 + op, t - 1)
+        for kd_, op, t in zip(k_dil, output_padding_, stride_)
+    ]
+    x = lax.pad(signal, jnp.zeros((), signal.dtype), config)
+    out = fft_conv3d_fused(x, w, None, groups=groups)
+    out = lax.slice(
+        out,
+        start_indices=(0, 0) + tuple(padding_),
+        limit_indices=out.shape[:2]
+        + tuple(p + o for p, o in zip(padding_, out_shape)),
+    )
+    if bias is not None:
+        out = out + bias.reshape(1, -1, 1, 1, 1)
+    return out

@@ -234,11 +234,9 @@ def fft_conv(
     if impl in ("auto", "fused"):
         # padding modes are applied in the wrapper before the kernel runs,
         # so every supported mode is fused-eligible
-        eligible = n in (1, 2) or (n == 3 and groups == 1)
+        eligible = n in (1, 2, 3)
         if impl == "fused" and not eligible:
-            raise ValueError(
-                "impl='fused' requires 1D/2D input, or 3D with groups=1"
-            )
+            raise ValueError("impl='fused' requires 1D/2D/3D input")
         # auto: the fused kernel's per-block FFT work only pays off once the
         # kernel is large enough to be in FFT-conv territory at all
         if impl == "auto" and math.prod(kernel.shape[2:]) < 64:
@@ -287,7 +285,7 @@ def fft_conv(
                     "no fused 2D FFT configuration fits this shape"
                 )
         if eligible and n == 3 and (impl == "fused" or _on_tpu()):
-            from ..kernels.fused3d import fft_conv3d_fused, plan_3d
+            from ..kernels.fused3d import fft_conv3d_fused, plan_3d_blocked
 
             k_dil = [
                 dilated_size(k, dd)
@@ -296,14 +294,19 @@ def fft_conv(
             padded = [
                 s + 2 * p for s, p in zip(signal.shape[2:], padding_)
             ]
-            if plan_3d(
+            blocked = plan_3d_blocked(
                 signal.shape[1], kernel.shape[0], padded[0], padded[1],
-                padded[2], k_dil[0], k_dil[1], k_dil[2],
-            ) is not None:
+                padded[2], k_dil[0], k_dil[1], k_dil[2], groups,
+            )
+            # auto routes single-block plans only (the W-overlap-save
+            # multi-block path is available via impl="fused" but has not
+            # yet beaten the composed path in TPU measurement for plain
+            # conv shapes — wide-W routing is re-evaluated per round)
+            if blocked is not None and (impl == "fused" or blocked[1] == 1):
                 return fft_conv3d_fused(
                     signal, kernel, bias, padding=padding_,
                     padding_mode=padding_mode, stride=stride_,
-                    dilation=dilation_,
+                    dilation=dilation_, groups=groups,
                 )
             if impl == "fused":
                 raise ValueError(
@@ -455,9 +458,9 @@ def fft_conv_transpose(
     if impl in ("auto", "fused"):
         # the fused transposed path interior-stuffs the signal in its
         # wrapper, so any stride/dilation/groups/output_padding qualifies
-        eligible = n in (1, 2)
+        eligible = n in (1, 2, 3)
         if impl == "fused" and not eligible:
-            raise ValueError("impl='fused' requires 1D or 2D input")
+            raise ValueError("impl='fused' requires 1D/2D/3D input")
         k_dil = tuple(
             dilated_size(k, dd) for k, dd in zip(kernel.shape[2:], dilation_)
         )
@@ -504,6 +507,31 @@ def fft_conv_transpose(
                 )
             if impl == "fused":
                 raise ValueError("no fused 2D FFT configuration fits this shape")
+        if eligible and n == 3 and (impl == "fused" or _on_tpu()):
+            from ..kernels.fused3d import (
+                fft_conv_transpose3d_fused,
+                plan_3d_blocked,
+            )
+
+            blocked = plan_3d_blocked(
+                signal.shape[1], cout_total, full_spatial[0],
+                full_spatial[1], full_spatial[2], k_dil[0], k_dil[1],
+                k_dil[2], groups,
+            )
+            # the stuffed full-correlation volume's W exceeds one lane
+            # half at typical 3D shapes, so this path is W-overlap-save
+            # blocked; auto keeps composed until the blocked path beats
+            # it in TPU measurement (re-evaluated per round)
+            if blocked is not None and impl == "fused":
+                return fft_conv_transpose3d_fused(
+                    signal, kernel, bias, padding=padding_, stride=stride_,
+                    dilation=dilation_, groups=groups,
+                    output_padding=output_padding_,
+                )
+            if impl == "fused":
+                raise ValueError(
+                    "no fused 3D FFT configuration fits this shape"
+                )
 
     use_tiled = impl == "tiled" or (
         impl == "auto" and _on_tpu() and _tiling_wins_transpose(

@@ -290,10 +290,14 @@ def test_impl_dispatcher():
     _assert_close_scaled(
         fft_conv(s3, w3, impl="fused"), fft_conv(s3, w3, impl="xla")
     )
-    with pytest.raises(ValueError):
-        # 3D grouped is not fused-eligible
-        fft_conv(jnp.ones((1, 4, 16, 16, 16)), jnp.ones((4, 2, 3, 3, 3)),
-                 groups=2, impl="fused")
+    # 3D grouped is fused-eligible since round 4 (group-sliced MACs)
+    sg = jnp.asarray(
+        rng.standard_normal((1, 4, 16, 16, 16)).astype(np.float32))
+    wg = jnp.asarray(rng.standard_normal((4, 2, 3, 3, 3)).astype(np.float32))
+    _assert_close_scaled(
+        fft_conv(sg, wg, groups=2, impl="fused"),
+        fft_conv(sg, wg, groups=2, impl="xla"),
+    )
     with pytest.raises(ValueError):
         fft_conv(sig, w, impl="bogus")
 

@@ -8,7 +8,12 @@ import torch
 import torch.nn.functional as TF
 
 from fft_conv_tpu import fft_conv
-from fft_conv_tpu.kernels.fused3d import fft_conv3d_fused, plan_3d
+from fft_conv_tpu.kernels.fused3d import (
+    fft_conv3d_fused,
+    fft_conv_transpose3d_fused,
+    plan_3d,
+    plan_3d_blocked,
+)
 
 from helpers import _assert_close_scaled
 
@@ -88,18 +93,99 @@ def test_fused3d_gradients_match_composed():
     _assert_close_scaled(gx, gx_ref)
 
 
-def test_fused3d_groups_rejected_and_fallback():
-    sig = jnp.ones((1, 4, 10, 10, 10))
-    ker = jnp.ones((4, 2, 3, 3, 3))
-    with pytest.raises(ValueError):
-        fft_conv3d_fused(sig, ker)
-    # plan misses (W too wide) -> composed fallback, still correct
+@pytest.mark.parametrize("groups,kd", [(2, 3), (3, 3), (2, 11)])
+def test_fused3d_groups(groups, kd):
+    # kd=11 exercises the grouped tap-path MAC; kd=3 the grouped v4 MAC
+    rng = np.random.default_rng(groups + kd)
+    sig = rng.standard_normal((1, 6, 2 * kd + 4, 12, 10)).astype(np.float32)
+    ker = rng.standard_normal((6, 6 // groups, kd, 3, 3)).astype(np.float32)
+    bias = rng.standard_normal((6,)).astype(np.float32)
+    mode = plan_3d(6, 6, 2 * kd + 4, 12, 10, kd, 3, 3, groups)[0]
+    assert mode == ("tap" if kd > 9 else "v4")
+    ref = TF.conv3d(
+        torch.tensor(sig), torch.tensor(ker), torch.tensor(bias),
+        groups=groups,
+    ).numpy()
+    got = fft_conv3d_fused(
+        jnp.asarray(sig), jnp.asarray(ker), jnp.asarray(bias), groups=groups
+    )
+    _assert_close_scaled(got, ref)
+
+
+def test_fused3d_grouped_gradients_match_composed():
+    rng = np.random.default_rng(17)
+    sig = jnp.asarray(
+        rng.standard_normal((1, 4, 14, 12, 10)).astype(np.float32))
+    ker = jnp.asarray(
+        rng.standard_normal((4, 2, 3, 3, 3)).astype(np.float32))
+    g = jax.grad(lambda k: fft_conv3d_fused(sig, k, groups=2).sum())(ker)
+    g_ref = jax.grad(
+        lambda k: fft_conv(sig, k, groups=2, impl="xla").sum())(ker)
+    _assert_close_scaled(g, g_ref)
+    gx = jax.grad(lambda s: fft_conv3d_fused(s, ker, groups=2).sum())(sig)
+    gx_ref = jax.grad(
+        lambda s: fft_conv(s, ker, groups=2, impl="xla").sum())(sig)
+    _assert_close_scaled(gx, gx_ref)
+
+
+def test_fused3d_wide_w_blocked():
+    # W > 64 rides wrapper overlap-save W-blocking (plan_3d itself misses)
     rng = np.random.default_rng(8)
-    s = rng.standard_normal((1, 1, 4, 4, 200)).astype(np.float32)
-    k = rng.standard_normal((1, 1, 2, 2, 7)).astype(np.float32)
-    assert plan_3d(1, 1, 4, 4, 200, 2, 2, 7) is None
+    s = rng.standard_normal((2, 2, 10, 8, 200)).astype(np.float32)
+    k = rng.standard_normal((3, 2, 2, 2, 7)).astype(np.float32)
+    assert plan_3d(2, 3, 10, 8, 200, 2, 2, 7) is None
+    plan, nwb, hop = plan_3d_blocked(2, 3, 10, 8, 200, 2, 2, 7)
+    assert nwb == 4 and hop == 58
     ref = TF.conv3d(torch.tensor(s), torch.tensor(k)).numpy()
     got = fft_conv3d_fused(jnp.asarray(s), jnp.asarray(k))
+    _assert_close_scaled(got, ref)
+    # exact multi-block coverage edge: ow a multiple of the hop
+    s2 = rng.standard_normal((1, 1, 8, 8, 64 + 58)).astype(np.float32)
+    k2 = rng.standard_normal((1, 1, 2, 2, 7)).astype(np.float32)
+    ref2 = TF.conv3d(torch.tensor(s2), torch.tensor(k2)).numpy()
+    got2 = fft_conv3d_fused(jnp.asarray(s2), jnp.asarray(k2))
+    _assert_close_scaled(got2, ref2)
+
+
+TCONFIGS = [
+    # (B, cin, cout, D, H, W, K, stride, pad, op, dil, groups)
+    (1, 2, 3, 10, 12, 10, 3, 1, 0, 0, 1, 1),
+    (2, 2, 2, 8, 9, 10, 4, 2, 1, 1, 1, 1),
+    (1, 4, 4, 7, 8, 9, 3, 1, 0, 0, 2, 2),
+    (1, 2, 2, 12, 14, 64, 8, 1, 0, 0, 1, 1),  # stuffed W = 78 > 64: blocked
+]
+
+
+@pytest.mark.parametrize("b,cin,cout,d,h,w,k,st,pad,op,dil,groups", TCONFIGS)
+def test_fused3d_transpose_matches_torch(
+    b, cin, cout, d, h, w, k, st, pad, op, dil, groups
+):
+    rng = np.random.default_rng(d + k + st)
+    sig = rng.standard_normal((b, cin, d, h, w)).astype(np.float32)
+    ker = rng.standard_normal(
+        (cin, cout // groups, k, k, k)).astype(np.float32)
+    bias = rng.standard_normal((cout,)).astype(np.float32)
+    ref = TF.conv_transpose3d(
+        torch.tensor(sig), torch.tensor(ker), torch.tensor(bias),
+        stride=st, padding=pad, output_padding=op, dilation=dil,
+        groups=groups,
+    ).numpy()
+    got = fft_conv_transpose3d_fused(
+        jnp.asarray(sig), jnp.asarray(ker), jnp.asarray(bias),
+        stride=st, padding=pad, output_padding=op, dilation=dil,
+        groups=groups,
+    )
+    _assert_close_scaled(got, ref)
+
+
+def test_fused3d_transpose_impl_fused_dispatch():
+    from fft_conv_tpu import fft_conv_transpose
+
+    rng = np.random.default_rng(9)
+    sig = rng.standard_normal((1, 2, 10, 12, 10)).astype(np.float32)
+    ker = rng.standard_normal((2, 3, 3, 3, 3)).astype(np.float32)
+    ref = TF.conv_transpose3d(torch.tensor(sig), torch.tensor(ker)).numpy()
+    got = fft_conv_transpose(jnp.asarray(sig), jnp.asarray(ker), impl="fused")
     _assert_close_scaled(got, ref)
 
 
