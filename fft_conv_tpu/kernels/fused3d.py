@@ -1048,7 +1048,9 @@ def plan_fft_conv3d(
     jitted callable only transforms the signal — removes the ~0.17 ms
     per-call spectra chain at the 64^3 K=8^3 benchmark shape (~18% of
     the fused call). Fused surface only: groups=1, stride=1, dilation=1;
-    caller gates on ``plan_3d``."""
+    caller gates on ``plan_3d_blocked`` (the kernel spectra are
+    W-length-independent, so W-overlap-save blocked shapes bake the same
+    spectra)."""
     if kernel.ndim != 5:
         raise ValueError("plan_fft_conv3d expects (Cout, Cin, KD, KH, KW)")
     padding_ = to_ntuple(padding, 3)
@@ -1059,9 +1061,10 @@ def plan_fft_conv3d(
     wp = w + 2 * padding_[2]
     if kd > dp or kh > hp or kw > wp:
         raise ValueError("Kernel size can't be greater than actual input size")
-    plan = plan_3d(cin, cout, dp, hp, wp, kd, kh, kw)
-    if plan is None:
+    blocked = plan_3d_blocked(cin, cout, dp, hp, wp, kd, kh, kw)
+    if blocked is None:
         raise ValueError("no fused 3D configuration fits this shape")
+    plan = blocked[0]
     out_dhw = (dp - kd + 1, hp - kh + 1, wp - kw + 1)
 
     kernel = kernel.astype(jnp.float32)

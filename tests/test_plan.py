@@ -48,7 +48,8 @@ def test_plan_3d_grouped_dilated(force_matmul_dft):
 
 
 def test_plan_plain_branch_long_axis():
-    """Axes beyond the matmul range fall back to the jnp.fft plan."""
+    """Axes beyond the matmul range fall back to the jnp.fft plan (with
+    the kernel's conjugated rfftn spectrum baked at plan time)."""
     rng = np.random.default_rng(2)
     w = rng.standard_normal((2, 2, 9)).astype(np.float32)
     plan = plan_fft_conv(jnp.asarray(w), signal_spatial=(4096,))
@@ -57,6 +58,23 @@ def test_plan_plain_branch_long_axis():
     _assert_almost_equal(plan(jnp.asarray(sig)), y_ref)
     with pytest.raises(ValueError):
         plan(jnp.ones((1, 2, 100)))
+
+
+def test_plan_plain_branch_full_arg_surface():
+    """The baked jnp.fft plan honors stride/padding/dilation/groups/bias."""
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((4, 2, 7)).astype(np.float32)
+    b = rng.standard_normal((4,)).astype(np.float32)
+    plan = plan_fft_conv(
+        jnp.asarray(w), jnp.asarray(b), stride=3, padding=5, dilation=2,
+        groups=2, signal_spatial=(4096,),
+    )
+    sig = rng.standard_normal((2, 4, 4096)).astype(np.float32)
+    y_ref = F.conv1d(
+        torch.tensor(sig), torch.tensor(w), torch.tensor(b), stride=3,
+        padding=5, dilation=2, groups=2,
+    ).numpy()
+    _assert_almost_equal(plan(jnp.asarray(sig)), y_ref)
 
 
 def test_plan_validates():
@@ -132,3 +150,23 @@ def test_plan_fft_conv3d_fused_matches():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         fn(jnp.zeros((1, 2, 8, 8, 8)))
+
+
+def test_plan_fft_conv3d_wide_w_blocked():
+    """The 3D fused serving plan covers W-overlap-save blocked shapes."""
+    from fft_conv_tpu.kernels.fused3d import plan_3d, plan_fft_conv3d
+
+    rng = np.random.default_rng(11)
+    w = rng.standard_normal((2, 2, 3, 3, 5)).astype(np.float32)
+    b = rng.standard_normal((2,)).astype(np.float32)
+    assert plan_3d(2, 2, 12, 12, 100, 3, 3, 5) is None  # W > one lane half
+    plan = plan_fft_conv3d(jnp.asarray(w), jnp.asarray(b),
+                           signal_dhw=(12, 12, 100))
+    sig = rng.standard_normal((1, 2, 12, 12, 100)).astype(np.float32)
+    y_ref = F.conv3d(torch.tensor(sig), torch.tensor(w),
+                     torch.tensor(b)).numpy()
+    y = np.asarray(plan(jnp.asarray(sig)))
+    assert y.shape == y_ref.shape
+    err = np.abs(y - y_ref)
+    scale = max(1.0, float(y_ref.std()))
+    assert err.mean() < 5e-5 * scale and err.max() < 2e-4 * scale
