@@ -132,6 +132,9 @@ def fft_conv_spatial_sharded(
     # tests/test_sharding.py::test_sharded_gradients_match). Propagating vma
     # annotations through the FFT/custom_vjp pipeline isn't supported yet;
     # revisit when jax's vma-AD interaction stabilizes (doc/ROADMAP.md).
+    # Re-checked round 4 (jax still 0.9.0): with check_vma=True the fused
+    # impl now ALSO fails in forward pallas_call tracing, not just AD —
+    # the flag stays off until a jax upgrade lands.
     out = jax.shard_map(
         local, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         check_vma=False,

@@ -141,6 +141,9 @@ def fft_conv_sharded(
     # tests/test_sharding.py::test_sharded_gradients_match). Propagating vma
     # annotations through the FFT/custom_vjp pipeline isn't supported yet;
     # revisit when jax's vma-AD interaction stabilizes (doc/ROADMAP.md).
+    # Re-checked round 4 (jax still 0.9.0): with check_vma=True the fused
+    # impl now ALSO fails in forward pallas_call tracing, not just AD —
+    # the flag stays off until a jax upgrade lands.
     return jax.shard_map(
         body, mesh=mesh,
         in_specs=(sig_spec, ker_spec, bias_spec),
@@ -225,6 +228,9 @@ def fft_conv_transpose_sharded(
     # tests/test_sharding.py::test_sharded_gradients_match). Propagating vma
     # annotations through the FFT/custom_vjp pipeline isn't supported yet;
     # revisit when jax's vma-AD interaction stabilizes (doc/ROADMAP.md).
+    # Re-checked round 4 (jax still 0.9.0): with check_vma=True the fused
+    # impl now ALSO fails in forward pallas_call tracing, not just AD —
+    # the flag stays off until a jax upgrade lands.
     return jax.shard_map(
         body, mesh=mesh,
         in_specs=(sig_spec, ker_spec, bias_spec),
