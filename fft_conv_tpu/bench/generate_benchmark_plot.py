@@ -111,13 +111,19 @@ def _methods(ndim) -> Dict[str, Callable]:
 def run_sweep(
     configs: Optional[List[BenchConfig]] = None,
     checkpoint_path: Optional[str] = None,
+    resume: bool = False,
 ) -> List[dict]:
     """Sweeps every (config, kernel size, method) point.
 
     ``checkpoint_path``: if given, the accumulated rows are re-written
     there after EVERY point — the TPU tunnel occasionally wedges
     mid-sweep (observed: >50 min silent on one compile), and a killed
-    run must not lose the hours of points already measured."""
+    run must not lose the hours of points already measured.
+
+    ``resume``: load ``checkpoint_path`` if present and skip every
+    (config, method, kernel_size) already measured on the SAME platform —
+    a killed full sweep picks up where it died instead of re-paying the
+    measured points."""
     import jax
 
     # persistent compile cache: the sweep compiles ~40 (method, point)
@@ -153,6 +159,21 @@ def run_sweep(
             delay = min(delay * 1.6, 90.0)
     rng = np.random.default_rng(0)
     rows = []
+    done = set()
+    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+        try:
+            with open(checkpoint_path) as f:
+                rows = [
+                    r for r in json.load(f) if r.get("platform") == platform
+                ]
+            done = {
+                (r["config"], r["method"], r["kernel_size"]) for r in rows
+            }
+            print(f"resuming: {len(done)} points already measured",
+                  flush=True)
+        except Exception as e:
+            print(f"resume load failed ({e}); starting fresh", flush=True)
+            rows, done = [], set()
     for cfg in configs:
         methods = _methods(cfg.ndim)
         for k in cfg.kernel_sizes:
@@ -171,6 +192,8 @@ def run_sweep(
                 rng.standard_normal((cfg.out_channels,)).astype(np.float32)
             )
             for name, fn in methods.items():
+                if (cfg.label, name, k) in done:
+                    continue
                 arg_k = ker_t if "transpose" in name else ker
                 try:
                     t = benchmark_fori(
@@ -259,6 +282,9 @@ def main():
     parser.add_argument("--out", default="doc")
     parser.add_argument("--quick", action="store_true",
                         help="3 kernel sizes per config")
+    parser.add_argument("--resume", action="store_true",
+                        help="skip points already in the checkpoint JSON "
+                             "(same platform); continue a killed sweep")
     args = parser.parse_args()
     configs = CONFIGS
     if args.quick:
@@ -274,7 +300,7 @@ def main():
         ]
     os.makedirs(args.out, exist_ok=True)
     json_path = os.path.join(args.out, "benchmark_results.json")
-    rows = run_sweep(configs, checkpoint_path=json_path)
+    rows = run_sweep(configs, checkpoint_path=json_path, resume=args.resume)
     with open(json_path, "w") as f:
         json.dump(rows, f, indent=1)
     print(f"wrote {json_path}")

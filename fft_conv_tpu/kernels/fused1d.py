@@ -182,6 +182,33 @@ def set_fused_precision(mode: str) -> None:
         _fused_call.cache_clear()
 
 
+# Per-bin MAC strategy inside the fused kernel (VPU block, ~13 us of the
+# K=256 cell pre-one-siding — the largest remaining non-matmul stage):
+#   "loop"    — per-out-channel unrolled: 4 mults + 2 full-size add/subs
+#               + 2 sublane sums per o (round-1 design, measured baseline)
+#   "stacked" — re/im stacked on the channel axis once per cell: per o
+#               only 2 mults + 2 sums over the doubled axis (half the
+#               big-op count; the concats are whole-tile sublane copies)
+#   "kara"    — 3-multiply complex MAC: m1=dr*kr, m2=di*ki,
+#               m3=(dr+di)*(kr+ki); yr=m1-m2, yi=m3-m1-m2 with the
+#               combines on the REDUCED arrays (3 mults + 3 sums per o)
+#   "bcast"   — single rank-5 broadcast mult + sum over all out-channels
+#               at once (no python loop; groups==1 only, falls back to
+#               "loop" otherwise)
+# Default decided by v5e measurement (scratch/tpu_r4_1dmac.py).
+_MAC_MODE = "loop"
+
+
+def set_fused1d_mac(mode: str) -> None:
+    """Selects the fused 1D kernel's per-bin MAC strategy (see _MAC_MODE)."""
+    global _MAC_MODE
+    if mode not in ("loop", "stacked", "kara", "bcast"):
+        raise ValueError(f"unknown fused 1D MAC mode: {mode!r}")
+    if mode != _MAC_MODE:
+        _MAC_MODE = mode
+        _fused_call.cache_clear()
+
+
 def _split_bf16(x):
     hi = x.astype(jnp.bfloat16)
     lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -243,7 +270,8 @@ def _mm_right(x_re, x_im, m_re, m_im, precision):
     return re, im
 
 
-def _make_kernel(n1, n2, cin, cout, v1, vrow, precision, b, groups=1):
+def _make_kernel(n1, n2, cin, cout, v1, vrow, precision, b, groups=1,
+                 mac_mode="loop"):
     def body(
         x_hbm, kr_ref, ki_ref,
         f1r, f1i, f2r, f2i, twr, twi, if1r, if1i, if2r, if2i,
@@ -286,25 +314,67 @@ def _make_kernel(n1, n2, cin, cout, v1, vrow, precision, b, groups=1):
         dr, di = _mm_right(cr, ci, f2r[...], f2i[...], precision)
 
         # per-bin complex MAC over this out-channel's group of in-channels
-        # (kernel spectra pre-conjugated; group slices are static)
+        # (kernel spectra pre-conjugated; group slices are static).
+        # Four VPU strategies — see _MAC_MODE for the trade-offs.
         cpg = cin // groups
         opg = cout // groups
-        yr_parts = []
-        yi_parts = []
-        for o in range(cout):
-            go = o // opg
-            dr_g = dr[:, :, go * cpg:(go + 1) * cpg, :]
-            di_g = di[:, :, go * cpg:(go + 1) * cpg, :]
-            kr_o = kr_ref[o][:, None, :, :]  # (N1H, 1, Cin/groups, N2)
-            ki_o = ki_ref[o][:, None, :, :]
-            yr_parts.append(
-                jnp.sum(dr_g * kr_o - di_g * ki_o, axis=2, keepdims=True)
-            )
-            yi_parts.append(
-                jnp.sum(dr_g * ki_o + di_g * kr_o, axis=2, keepdims=True)
-            )
-        yr = jnp.concatenate(yr_parts, axis=2)  # (N1, B, Cout, N2)
-        yi = jnp.concatenate(yi_parts, axis=2)
+        mode = mac_mode if not (mac_mode == "bcast" and groups > 1) else "loop"
+        if mode == "bcast":
+            # all out-channels in one broadcast mult + sublane-axis sum
+            ds = jnp.concatenate([dr, di], axis=2)[:, :, None]
+            # (N1H, B, 1, 2Cin, N2); spectra to (N1H, 1, Cout, 2Cin, N2)
+            krs = jnp.swapaxes(
+                jnp.concatenate([kr_ref[...], -ki_ref[...]], axis=2), 0, 1
+            )[:, None]
+            kis = jnp.swapaxes(
+                jnp.concatenate([ki_ref[...], kr_ref[...]], axis=2), 0, 1
+            )[:, None]
+            yr = jnp.sum(ds * krs, axis=3)  # (N1H, B, Cout, N2)
+            yi = jnp.sum(ds * kis, axis=3)
+        else:
+            if mode == "stacked":
+                krs = jnp.concatenate([kr_ref[...], -ki_ref[...]], axis=2)
+                kis = jnp.concatenate([ki_ref[...], kr_ref[...]], axis=2)
+                d_stk = [
+                    jnp.concatenate(
+                        [dr[:, :, g * cpg:(g + 1) * cpg, :],
+                         di[:, :, g * cpg:(g + 1) * cpg, :]], axis=2
+                    )
+                    for g in range(groups)
+                ]
+            elif mode == "kara":
+                ksum = kr_ref[...] + ki_ref[...]
+                d_sum = dr + di
+            yr_parts = []
+            yi_parts = []
+            for o in range(cout):
+                go = o // opg
+                if mode == "stacked":
+                    ds = d_stk[go]  # (N1H, B, 2Cin/g, N2)
+                    yr_parts.append(jnp.sum(
+                        ds * krs[o][:, None], axis=2, keepdims=True))
+                    yi_parts.append(jnp.sum(
+                        ds * kis[o][:, None], axis=2, keepdims=True))
+                    continue
+                dr_g = dr[:, :, go * cpg:(go + 1) * cpg, :]
+                di_g = di[:, :, go * cpg:(go + 1) * cpg, :]
+                kr_o = kr_ref[o][:, None, :, :]  # (N1H, 1, Cin/g, N2)
+                ki_o = ki_ref[o][:, None, :, :]
+                if mode == "kara":
+                    ds_g = d_sum[:, :, go * cpg:(go + 1) * cpg, :]
+                    m1 = jnp.sum(dr_g * kr_o, axis=2, keepdims=True)
+                    m2 = jnp.sum(di_g * ki_o, axis=2, keepdims=True)
+                    m3 = jnp.sum(
+                        ds_g * ksum[o][:, None], axis=2, keepdims=True)
+                    yr_parts.append(m1 - m2)
+                    yi_parts.append(m3 - m1 - m2)
+                else:  # "loop"
+                    yr_parts.append(jnp.sum(
+                        dr_g * kr_o - di_g * ki_o, axis=2, keepdims=True))
+                    yi_parts.append(jnp.sum(
+                        dr_g * ki_o + di_g * kr_o, axis=2, keepdims=True))
+            yr = jnp.concatenate(yr_parts, axis=2)  # (N1H, B, Cout, N2)
+            yi = jnp.concatenate(yi_parts, axis=2)
 
         # inverse stage 1 (contract k2)
         er, ei = _mm_right(yr, yi, if2r[...], if2i[...], precision)
@@ -326,7 +396,7 @@ def _make_kernel(n1, n2, cin, cout, v1, vrow, precision, b, groups=1):
 
 @lru_cache(maxsize=None)
 def _fused_call(b, nblk, n1, n2, cin, cout, v1, vrow, precision, interpret,
-                groups=1):
+                groups=1, mac_mode="loop"):
     """Builds the pallas_call for a given static configuration."""
     if interpret and precision == "bf16x3":
         precision = "bf16x3_exact"  # see _dot3: XLA mishandles raw bf16 dots
@@ -363,7 +433,8 @@ def _fused_call(b, nblk, n1, n2, cin, cout, v1, vrow, precision, interpret,
         ) * (cin + cout) // 2 * b
     )
     return pl.pallas_call(
-        _make_kernel(n1, n2, cin, cout, v1, vrow, precision, b, groups),
+        _make_kernel(n1, n2, cin, cout, v1, vrow, precision, b, groups,
+                     mac_mode),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nblk, v1, b, cout, n2), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -418,7 +489,7 @@ def _fused_forward(x_padded, kernel, n, groups=1, spectra=None):
 
     call = _fused_call(
         b, nblk, n1, n2, cin, cout, v1, v // n2,
-        _PRECISION_MODE, _is_cpu(), groups,
+        _PRECISION_MODE, _is_cpu(), groups, _MAC_MODE,
     )
     out = call(x4.astype(jnp.float32), kr, ki, *consts)
     # (nblk, V1, B, Cout, N2) -> (B, Cout, nblk*V) -> crop

@@ -376,6 +376,35 @@ def test_fused_strict_precision_absolute_bar():
     _assert_almost_equal(y, y_ref)
 
 
+@pytest.mark.parametrize("mac_mode", ["stacked", "kara", "bcast"])
+@pytest.mark.parametrize("groups", [1, 3])
+def test_fused1d_mac_modes_match_loop(mac_mode, groups):
+    """Every alternative per-bin MAC strategy must match the default
+    "loop" MAC to the repo's scale-aware bar — the mode switch only
+    reorders VPU summation, never the math (reassociation shifts results
+    by ~1e-6 relative). Grouped configs exercise the per-group stacked
+    slices ("bcast" falls back to "loop" internally for groups>1 — still
+    must produce the same result)."""
+    from fft_conv_tpu.kernels.fused1d import set_fused1d_mac
+
+    rng = np.random.default_rng(7)
+    sig = jnp.asarray(rng.standard_normal((2, 6, 4000)).astype(np.float32))
+    w = jnp.asarray(
+        rng.standard_normal((6, 6 // groups, 160)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((6,)).astype(np.float32))
+    y_loop = np.asarray(fft_conv1d_fused(sig, w, b, groups=groups))
+    set_fused1d_mac(mac_mode)
+    try:
+        y_alt = np.asarray(fft_conv1d_fused(sig, w, b, groups=groups))
+    finally:
+        set_fused1d_mac("loop")
+    scale = max(1.0, float(np.abs(y_loop).max()))
+    err = np.abs(y_alt - y_loop)
+    assert err.mean() < 5e-5 * scale and err.max() < 1e-4 * scale, (
+        f"mean {err.mean():.3e} max {err.max():.3e} scale {scale:.1f}"
+    )
+
+
 def test_plan_fft_conv1d_runtime_batch_fallback():
     """A plan built with a small batch hint, called with a VMEM-busting
     batch, must fall back to the composed path (correct output), not die
