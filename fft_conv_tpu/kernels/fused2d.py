@@ -93,6 +93,56 @@ def set_fused2d_kernel(version: str) -> None:
     if version != _KERNEL2D_VERSION:
         _KERNEL2D_VERSION = version
         _fused2d_call.cache_clear()
+
+
+# Per-bin MAC strategy (the named round-4 "2D MAC" lever — the largest
+# remaining VPU block of the tile cell):
+#   "loop" — per-(o, c) 4-mult complex FMA: 8 block-ops per (o, c) pair
+#   "kara" — 3-mult Karatsuba with THREE separate accumulators (m1 = sum
+#            dr*kr, m2 = sum di*ki, m3 = sum (dr+di)*(kr+ki); yr = m1-m2,
+#            yi = m3-m1-m2 on the reduced blocks): 6 block-ops per pair
+#            + amortized dsum/combine — ~19% fewer VPU block-ops at the
+#            benchmark Cin=Cout=8. ksum spectra are an extra XLA-side
+#            input (kr+ki, computed once per call / baked in plans).
+# Default decided by v5e measurement (scratch/tpu_r4_2dmac.py).
+_MAC2D_MODE = "loop"
+
+
+def set_fused2d_mac(mode: str) -> None:
+    """Selects the 2D kernel's per-bin MAC strategy ("loop" | "kara")."""
+    global _MAC2D_MODE
+    if mode not in ("loop", "kara"):
+        raise ValueError(f"unknown fused 2D MAC mode: {mode!r}")
+    if mode != _MAC2D_MODE:
+        _MAC2D_MODE = mode
+        _fused2d_call.cache_clear()
+
+
+def _mac_2d(drs, dis, dsum, kr_ref, ki_ref, ks_ref, o, opg, cpg, mac_mode):
+    """Per-bin grouped complex MAC over in-channels -> (yr, yi) for out-
+    channel ``o``. See _MAC2D_MODE for the two strategies."""
+    go = o // opg
+    if mac_mode == "kara":
+        m1 = m2 = m3 = None
+        for cg in range(cpg):
+            c = go * cpg + cg
+            p1 = drs[c] * kr_ref[o, cg]
+            p2 = dis[c] * ki_ref[o, cg]
+            p3 = dsum[c] * ks_ref[o, cg]
+            m1 = p1 if m1 is None else m1 + p1
+            m2 = p2 if m2 is None else m2 + p2
+            m3 = p3 if m3 is None else m3 + p3
+        return m1 - m2, m3 - m1 - m2
+    yr = yi = None
+    for cg in range(cpg):
+        c = go * cpg + cg
+        kro = kr_ref[o, cg]
+        kio = ki_ref[o, cg]
+        tr = drs[c] * kro - dis[c] * kio
+        ti = drs[c] * kio + dis[c] * kro
+        yr = tr if yr is None else yr + tr
+        yi = ti if yi is None else yi + ti
+    return yr, yi
 _T2_CANDIDATES = (128, 256)
 # benchmarking hook: force the H FFT length (None = heuristic)
 _T1_OVERRIDE = None
@@ -142,11 +192,13 @@ def tile_plan_2d(k1: int, k2: int, cin_g: int, cout: int):
         return None
     v1 = (t1 - k1 + 1) // 8 * 8
     nb1 = t1 // 2 + 1
+    # kara MAC keeps a third resident spectra array (ksum) in VMEM
+    spectra_bytes = 12 if _MAC2D_MODE == "kara" else 8
     for t2 in _T2_CANDIDATES:
         v2 = t2 - k2 + 1
         if v2 < 32:
             continue
-        if cout * nb1 * cin_g * t2 * 8 > _KER_VMEM_BUDGET:
+        if cout * nb1 * cin_g * t2 * spectra_bytes > _KER_VMEM_BUDGET:
             return None  # larger T2 only costs more
         return t1, v1, nb1, t2, v2
     return None
@@ -228,15 +280,20 @@ def _kernel_spectra_2d(kernel: jax.Array, t1: int, nb1: int, t2: int):
     return br, -bi
 
 
-def _make_kernel_2d(t1, nb1, t2, v1, v2, nt2, cin, cout, groups, precision):
+def _make_kernel_2d(t1, nb1, t2, v1, v2, nt2, cin, cout, groups, precision,
+                    mac_mode="loop"):
     cpg = cin // groups
     opg = cout // groups
 
     def body(
-        x_hbm, kr_ref, ki_ref,
-        fr, fi, wr, wi, ur, ui, cr, ci,
-        out_ref, x_vmem, dma_sem,
+        x_hbm, kr_ref, ki_ref, *rest,
     ):
+        if mac_mode == "kara":
+            ks_ref, *rest = rest
+        else:
+            ks_ref = None
+        (fr, fi, wr, wi, ur, ui, cr, ci,
+         out_ref, x_vmem, dma_sem) = rest
         b = pl.program_id(0)
         i = pl.program_id(1)
         # x is pre-windowed along W in XLA: (B, Cin, nt2, Hpad, T2). One cell
@@ -279,17 +336,15 @@ def _make_kernel_2d(t1, nb1, t2, v1, v2, nt2, cin, cout, groups, precision):
                     + _dot(hi, wrm, dn2, precision)
                 )
             # grouped per-bin MAC (VPU) + inverse transforms per out-channel
+            dsum = (
+                [drs[c] + dis[c] for c in range(cin)]
+                if mac_mode == "kara" else None
+            )
             for o in range(cout):
-                go = o // opg
-                yr = yi = None
-                for cg in range(cpg):
-                    c = go * cpg + cg
-                    kro = kr_ref[o, cg]  # (NB1, T2), contiguous slice
-                    kio = ki_ref[o, cg]
-                    tr = drs[c] * kro - dis[c] * kio
-                    ti = drs[c] * kio + dis[c] * kro
-                    yr = tr if yr is None else yr + tr
-                    yi = ti if yi is None else yi + ti
+                yr, yi = _mac_2d(
+                    drs, dis, dsum, kr_ref, ki_ref, ks_ref, o, opg, cpg,
+                    mac_mode,
+                )
                 er = (
                     _dot(yr, urm, dn2, precision)
                     - _dot(yi, uim, dn2, precision)
@@ -309,17 +364,21 @@ def _make_kernel_2d(t1, nb1, t2, v1, v2, nt2, cin, cout, groups, precision):
 
 
 def _make_kernel_2d_v3(t1, nb1p, t2, v1, v2, nt2, cin, cout, groups,
-                       precision):
+                       precision, mac_mode="loop"):
     """v3 stacked-rows body — see the _KERNEL2D_VERSION note. MAC and DMA
     identical to v2; only the transform dot structure differs."""
     cpg = cin // groups
     opg = cout // groups
 
     def body(
-        x_hbm, kr_ref, ki_ref,
-        f2, wr, wi, ur, ui, cz1, cz2,
-        out_ref, x_vmem, dma_sem,
+        x_hbm, kr_ref, ki_ref, *rest,
     ):
+        if mac_mode == "kara":
+            ks_ref, *rest = rest
+        else:
+            ks_ref = None
+        (f2, wr, wi, ur, ui, cz1, cz2,
+         out_ref, x_vmem, dma_sem) = rest
         b = pl.program_id(0)
         i = pl.program_id(1)
         dma = pltpu.make_async_copy(
@@ -348,17 +407,15 @@ def _make_kernel_2d_v3(t1, nb1p, t2, v1, v2, nt2, cin, cout, groups,
                 dis.append(d2[:nb1p] + d1[nb1p:])
             # grouped per-bin MAC (VPU, v2-identical; spectra rows padded
             # to NB1P with zeros), then the H-first stacked inverse
+            dsum = (
+                [drs[c] + dis[c] for c in range(cin)]
+                if mac_mode == "kara" else None
+            )
             for o in range(cout):
-                go = o // opg
-                yr = yi = None
-                for cg in range(cpg):
-                    c = go * cpg + cg
-                    kro = kr_ref[o, cg]  # (NB1P, T2)
-                    kio = ki_ref[o, cg]
-                    tr = drs[c] * kro - dis[c] * kio
-                    ti = drs[c] * kio + dis[c] * kro
-                    yr = tr if yr is None else yr + tr
-                    yi = ti if yi is None else yi + ti
+                yr, yi = _mac_2d(
+                    drs, dis, dsum, kr_ref, ki_ref, ks_ref, o, opg, cpg,
+                    mac_mode,
+                )
                 y2 = jnp.concatenate([yr, yi], axis=0)  # (2*NB1P, T2)
                 zr = _dot(cz1m, y2, dn2, precision)     # (V1, T2)
                 zi = _dot(cz2m, y2, dn2, precision)
@@ -374,7 +431,7 @@ def _make_kernel_2d_v3(t1, nb1p, t2, v1, v2, nt2, cin, cout, groups,
 @lru_cache(maxsize=None)
 def _fused2d_call(
     b, nt1, nt2, t1, nb1, t2, v1, v2, cin, cout, groups, precision, interpret,
-    version="v2",
+    version="v2", mac_mode="loop",
 ):
     if interpret and precision == "bf16x3":
         precision = "bf16x3_exact"  # see fused1d._dot3
@@ -383,19 +440,18 @@ def _fused2d_call(
     nb1k = nb1p if version == "v3" else nb1  # resident spectra rows
     mat_spec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     nmats = 7 if version == "v3" else 8
+    spectra_spec = lambda: pl.BlockSpec(  # noqa: E731
+        (cout, cpg, nb1k, t2), lambda b_, i: (0, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    # kara mode takes a third resident spectra input (ksum = kr + ki)
+    nspectra = 3 if mac_mode == "kara" else 2
     grid_spec = pl.GridSpec(
         grid=(b, nt1),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # x in HBM
-            pl.BlockSpec(
-                (cout, cpg, nb1k, t2), lambda b_, i: (0, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (cout, cpg, nb1k, t2), lambda b_, i: (0, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ] + [mat_spec() for _ in range(nmats)],
+        ] + [spectra_spec() for _ in range(nspectra)]
+        + [mat_spec() for _ in range(nmats)],
         out_specs=pl.BlockSpec(
             (1, 1, v1, cout, nt2, t2),
             lambda b_, i: (b_, i, 0, 0, 0, 0),
@@ -418,7 +474,7 @@ def _fused2d_call(
     body_nb1 = nb1p if version == "v3" else nb1
     return pl.pallas_call(
         make(t1, body_nb1, t2, v1, v2, nt2, cin, cout, groups,
-             precision),
+             precision, mac_mode),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (b, nt1, v1, cout, nt2, t2), jnp.float32
@@ -487,11 +543,13 @@ def _fused2d_forward(x_padded, kernel, out_hw, groups=1, spectra=None):
     else:
         mats = [jnp.asarray(m) for m in _mats_2d(t1, nb1, t2, v1)]
 
+    mac_mode = _MAC2D_MODE
     call = _fused2d_call(
         b, nt1, nt2, t1, nb1, t2, v1, v2, cin, cout, groups,
-        _PRECISION_2D, _is_cpu(), version,
+        _PRECISION_2D, _is_cpu(), version, mac_mode,
     )
-    out = call(x, kr, ki, *mats)
+    spectra_args = (kr, ki, kr + ki) if mac_mode == "kara" else (kr, ki)
+    out = call(x, *spectra_args, *mats)
     # (B, nt1, V1, Cout, nt2, T2): crop W valid, stitch, crop to out_hw
     out = out[:, :, :, :, :, :v2]
     out = out.transpose(0, 3, 1, 2, 4, 5).reshape(

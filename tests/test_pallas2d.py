@@ -73,6 +73,35 @@ def test_fused2d_arg_surface(stride, dilation, groups, pmode):
     _assert_close_scaled(y, ref)
 
 
+@pytest.mark.parametrize("version", ["v2", "v3"])
+@pytest.mark.parametrize("mac_mode", ["loop", "kara"])
+@pytest.mark.parametrize("groups", [1, 2])
+def test_fused2d_versions_and_mac_modes(version, mac_mode, groups):
+    """Full (kernel-generation x MAC-strategy) matrix vs the torch oracle:
+    the switches only restructure MXU/VPU work, never the math. Grouped
+    configs exercise the per-group kara accumulators and the v3 padded-
+    row spectra slices."""
+    import fft_conv_tpu.kernels.fused2d as f2
+
+    rng = np.random.default_rng(11)
+    sig = rng.standard_normal((2, 4, 170, 180)).astype(np.float32)
+    ker = rng.standard_normal((4, 4 // groups, 12, 16)).astype(np.float32)
+    bias = rng.standard_normal((4,)).astype(np.float32)
+    ref = TF.conv2d(torch.tensor(sig), torch.tensor(ker),
+                    torch.tensor(bias), padding=2, groups=groups).numpy()
+    f2.set_fused2d_kernel(version)
+    f2.set_fused2d_mac(mac_mode)
+    try:
+        y = fft_conv2d_fused(
+            jnp.asarray(sig), jnp.asarray(ker), jnp.asarray(bias),
+            padding=2, groups=groups,
+        )
+    finally:
+        f2.set_fused2d_kernel("v2")
+        f2.set_fused2d_mac("loop")
+    _assert_close_scaled(y, ref)
+
+
 @pytest.mark.parametrize("pad", [0, 2, 5])
 def test_fused2d_transpose_matches_torch(pad):
     rng = np.random.default_rng(pad)
