@@ -118,6 +118,26 @@ def set_fused3d_precision(mode: str) -> None:
         _fused3d_call_v4.cache_clear()
 
 
+# Pointwise-frequency MAC strategy of the v4 kernel body (the mac_it
+# fori walk): "loop" = 4-mult complex FMA per (o, ci) pair (8 block-ops);
+# "kara" = 3-mult Karatsuba with three accumulators (6 block-ops + an
+# on-the-fly ksum add on the (1, 8, 128) kernel row — 1/NBD of a block
+# op, so no third resident spectra array is needed, unlike fused2d's
+# kara which would add ~10 MB of VMEM at the benchmark shape).
+# Default decided by v5e measurement (scratch/tpu_r4_3dmac.py).
+_MAC3D_MODE = "loop"
+
+
+def set_fused3d_mac(mode: str) -> None:
+    """Selects the v4 kernel's pointwise MAC strategy ("loop" | "kara")."""
+    global _MAC3D_MODE
+    if mode not in ("loop", "kara"):
+        raise ValueError(f"unknown fused 3D MAC mode: {mode!r}")
+    if mode != _MAC3D_MODE:
+        _MAC3D_MODE = mode
+        _fused3d_call_v4.cache_clear()
+
+
 def _tap_counts(kd: int) -> Tuple[int, int]:
     """(ME, MR): even-tap count and R-tap count (0 when KD has no odd taps).
 
@@ -490,7 +510,7 @@ def _kernel_spectra_v4(kernel: jax.Array, h: int, nbh: int, nbhp: int):
 
 
 def _make_kernel_v4(cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh, precision,
-                    groups=1):
+                    groups=1, mac_mode="loop"):
     """Overlap-save-D kernel body, batch-channel edition. Logical shapes:
       x        (H, Cin*PP, 128)   packed d-pair lanes, channels stacked
                                   along the page dim (one DMA per cell)
@@ -588,17 +608,37 @@ def _make_kernel_v4(cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh, precision,
                     xd_s[pl.dslice(r_ + f8 * nbd, nbd),
                          pl.dslice(c * nbhp + ch, 8), :],
                 ))
+            dsum = (
+                [xr + xi for xr, xi in xs] if mac_mode == "kara" else None
+            )
             for o in range(cout):
                 go = o // opg
-                ar = ai = None
-                for ci in range(cpg):
-                    xr, xi = xs[go * cpg + ci]       # (NBD, 8, 128)
-                    kro = kr_ref[f8, ci, o, pl.dslice(ch, 8), :][None]
-                    kio = ki_ref[f8, ci, o, pl.dslice(ch, 8), :][None]
-                    tr = xr * kro - xi * kio
-                    ti = xr * kio + xi * kro
-                    ar = tr if ar is None else ar + tr
-                    ai = ti if ai is None else ai + ti
+                if mac_mode == "kara":
+                    m1 = m2 = m3 = None
+                    for ci in range(cpg):
+                        xr, xi = xs[go * cpg + ci]   # (NBD, 8, 128)
+                        kro = kr_ref[f8, ci, o, pl.dslice(ch, 8), :][None]
+                        kio = ki_ref[f8, ci, o, pl.dslice(ch, 8), :][None]
+                        p1 = xr * kro
+                        p2 = xi * kio
+                        # ksum add runs on the (1, 8, 128) kernel row —
+                        # 1/NBD of a block op, so no resident ksum array
+                        p3 = dsum[go * cpg + ci] * (kro + kio)
+                        m1 = p1 if m1 is None else m1 + p1
+                        m2 = p2 if m2 is None else m2 + p2
+                        m3 = p3 if m3 is None else m3 + p3
+                    ar = m1 - m2
+                    ai = m3 - m1 - m2
+                else:
+                    ar = ai = None
+                    for ci in range(cpg):
+                        xr, xi = xs[go * cpg + ci]   # (NBD, 8, 128)
+                        kro = kr_ref[f8, ci, o, pl.dslice(ch, 8), :][None]
+                        kio = ki_ref[f8, ci, o, pl.dslice(ch, 8), :][None]
+                        tr = xr * kro - xi * kio
+                        ti = xr * kio + xi * kro
+                        ar = tr if ar is None else ar + tr
+                        ai = ti if ai is None else ai + ti
                 y_s[pl.dslice(f8 * nbd, nbd),
                     pl.dslice(o * nbhp + ch, 8), :] = ar
                 y_s[pl.dslice(r_ + f8 * nbd, nbd),
@@ -653,7 +693,7 @@ def _make_kernel_v4(cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh, precision,
 
 @lru_cache(maxsize=None)
 def _fused3d_call_v4(b, cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh,
-                     precision, interpret, groups=1):
+                     precision, interpret, groups=1, mac_mode="loop"):
     if interpret and precision == "bf16x3":
         precision = "bf16x3_exact"  # see fused1d._dot3
     r_ = 8 * nbd
@@ -694,7 +734,7 @@ def _fused3d_call_v4(b, cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh,
     )
     return pl.pallas_call(
         _make_kernel_v4(cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh,
-                        precision, groups),
+                        precision, groups, mac_mode),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (b, vh, cout * vdp, 128), jnp.float32),
@@ -965,7 +1005,7 @@ def _fused3d_forward(x_padded, kernel, out_dhw, groups=1, spectra=None):
         mats = [jnp.asarray(m) for m in _mats_v4(h, vh, nbd, pages)]
         call = _fused3d_call_v4(
             b, cin, cout, h, nbh, nbhp, pages, nbd, vdp, vh,
-            _PRECISION_3D, _is_cpu(), groups,
+            _PRECISION_3D, _is_cpu(), groups, _MAC3D_MODE,
         )
         out = call(x, kr, ki, *mats)    # (B, VH, Cout*VDP, 128)
         out = out.reshape(b, vh, cout, vdp, 2, _TW)

@@ -112,6 +112,31 @@ def test_fused3d_groups(groups, kd):
     _assert_close_scaled(got, ref)
 
 
+@pytest.mark.parametrize("groups", [1, 2])
+def test_fused3d_mac_kara_matches_loop(groups):
+    """The kara MAC only restructures VPU summation in the v4 body; it
+    must match the loop MAC and the torch oracle to the scale-aware bar
+    (grouped configs exercise the per-group kara accumulators)."""
+    from fft_conv_tpu.kernels.fused3d import set_fused3d_mac
+
+    rng = np.random.default_rng(23)
+    sig = rng.standard_normal((1, 4, 20, 16, 14)).astype(np.float32)
+    ker = rng.standard_normal((4, 4 // groups, 5, 3, 3)).astype(np.float32)
+    bias = rng.standard_normal((4,)).astype(np.float32)
+    assert plan_3d(4, 4, 20, 16, 14, 5, 3, 3, groups)[0] == "v4"
+    ref = TF.conv3d(torch.tensor(sig), torch.tensor(ker),
+                    torch.tensor(bias), groups=groups).numpy()
+    set_fused3d_mac("kara")
+    try:
+        got = fft_conv3d_fused(
+            jnp.asarray(sig), jnp.asarray(ker), jnp.asarray(bias),
+            groups=groups,
+        )
+    finally:
+        set_fused3d_mac("loop")
+    _assert_close_scaled(got, ref)
+
+
 def test_fused3d_grouped_gradients_match_composed():
     rng = np.random.default_rng(17)
     sig = jnp.asarray(
