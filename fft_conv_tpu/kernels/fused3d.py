@@ -138,6 +138,30 @@ def set_fused3d_mac(mode: str) -> None:
         _fused3d_call_v4.cache_clear()
 
 
+# Split-DMA x staging in the v4 kernel: the fwd H/W transform consumes
+# x one channel at a time, so the cell's single big x copy can be split
+# into CIN per-channel DMAs (disjoint XD regions, all started up front,
+# each waited right before its channel's matmuls) — later channels' HBM
+# traffic would stream under earlier channels' compute. MEASURED DEAD
+# END on v5e (2026-08-18, scratch/tpu_r4_3ddbuf.py): at the benchmark
+# shape (64^3, 8ch) Mosaic's register allocator already spills 44.4 MiB
+# to VMEM, and BOTH overlap variants push the program past the 128 MiB
+# cap — a dedicated 2-slot ping-pong staging buffer (134.3M) and this
+# zero-extra-buffer split-DMA form (131.8M; the interleaved DMA waits
+# extend live ranges across the fwd loop and grow the spill). dbuf=False
+# (single up-front DMA, 0.574 ms kernel) is the only shippable form;
+# the toggle is kept for re-probing if Mosaic's allocator improves.
+_DBUF3D = False
+
+
+def set_fused3d_dbuf(on: bool) -> None:
+    """Toggles the v4 kernel's split-DMA x staging (A/B probes)."""
+    global _DBUF3D
+    if bool(on) != _DBUF3D:
+        _DBUF3D = bool(on)
+        _fused3d_call_v4.cache_clear()
+
+
 def _tap_counts(kd: int) -> Tuple[int, int]:
     """(ME, MR): even-tap count and R-tap count (0 when KD has no odd taps).
 
@@ -510,7 +534,7 @@ def _kernel_spectra_v4(kernel: jax.Array, h: int, nbh: int, nbhp: int):
 
 
 def _make_kernel_v4(cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh, precision,
-                    groups=1, mac_mode="loop"):
+                    groups=1, mac_mode="loop", dbuf=True):
     """Overlap-save-D kernel body, batch-channel edition. Logical shapes:
       x        (H, Cin*PP, 128)   packed d-pair lanes, channels stacked
                                   along the page dim (one DMA per cell)
@@ -534,9 +558,30 @@ def _make_kernel_v4(cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh, precision,
     def body(
         x_hbm, kr_ref, ki_ref,
         f2m, bwr, bwi, bur, bui, g2m, twfr, twfi, twvr, twvi, w2m, cr2m,
-        out_ref, tr_s, xd_s, y_s, dma_sem,
+        out_ref, *scratch,
     ):
+        tr_s, xd_s, y_s, dma_sem = scratch
         b = pl.program_id(0)
+
+        if dbuf:
+            # split-DMA overlap: x still stages into the XD scratch (free
+            # until the post-fwd butterfly), but as CIN per-channel DMAs
+            # into disjoint regions, ALL started up front — the DMA engine
+            # streams the later channels under the earlier channels' fwd
+            # matmuls, and each channel waits only for its own copy. Zero
+            # extra VMEM vs the single-DMA staging (a dedicated 2-slot
+            # ping-pong buffer measured OOM: the kernel's register spill
+            # slots already eat the 128 MiB headroom — see ROADMAP r4).
+            def get_dma(c):
+                return pltpu.make_async_copy(
+                    x_hbm.at[b, :, pl.dslice(c * pp, pp), :],
+                    xd_s.at[pl.dslice(0, h), pl.dslice(c * pp, pp), :],
+                    dma_sem.at[c],
+                )
+
+            for c in range(cin):
+                get_dma(c).start()
+
         dn_lead = (((1,), (0,)), ((), ()))  # (M, K) x (K, P, 128)
         dn_min3 = (((2,), (0,)), ((), ()))  # (A, B, 128) x (128, 128)
         f2_ = f2m[...]
@@ -548,20 +593,23 @@ def _make_kernel_v4(cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh, precision,
         cr2_ = cr2m[...]
         lmask = lax.broadcasted_iota(jnp.int32, (r_, nbhp, 128), 2) < _TW
 
-        # x stages into the XD scratch (x is fully consumed before the
-        # first XD write — see below), saving a dedicated staging buffer
-        dma = pltpu.make_async_copy(
-            x_hbm.at[b],
-            xd_s.at[pl.dslice(0, h), pl.dslice(0, cin * pp), :],
-            dma_sem,
-        )
-        dma.start()
-        dma.wait()
+        if not dbuf:
+            # x stages into the XD scratch (x is fully consumed before
+            # the first XD write — see below), saving a staging buffer
+            dma = pltpu.make_async_copy(
+                x_hbm.at[b],
+                xd_s.at[pl.dslice(0, h), pl.dslice(0, cin * pp), :],
+                dma_sem,
+            )
+            dma.start()
+            dma.wait()
 
         # H fwd (leading) + W fwd (minor) + page/sublane transpose into
         # the D-leading stacked layout [Sr; Si] (2*PP, Cin*NBHP, 128),
         # chunked per channel to bound live temporaries
         for c in range(cin):
+            if dbuf:
+                get_dma(c).wait()
             xc = xd_s[pl.dslice(0, h), pl.dslice(c * pp, pp), :]
             ac = _dot(f2_, xc, dn_lead, precision)   # (2*NBHP, PP, 128)
             b1 = _dot(ac, bwr_, dn_min3, precision)  # [Hr*Wr; Hi*Wr]
@@ -693,7 +741,8 @@ def _make_kernel_v4(cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh, precision,
 
 @lru_cache(maxsize=None)
 def _fused3d_call_v4(b, cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh,
-                     precision, interpret, groups=1, mac_mode="loop"):
+                     precision, interpret, groups=1, mac_mode="loop",
+                     dbuf=True):
     if interpret and precision == "bf16x3":
         precision = "bf16x3_exact"  # see fused1d._dot3
     r_ = 8 * nbd
@@ -723,7 +772,8 @@ def _fused3d_call_v4(b, cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh,
             pltpu.VMEM((max(2 * r_, h),
                         max(cin * nbhp, cin * pp), 128), jnp.float32),
             pltpu.VMEM((2 * r_, cout * nbhp, 128), jnp.float32),  # Y
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((cin,)) if dbuf
+            else pltpu.SemaphoreType.DMA(()),
         ],
     )
     flops = b * 2 * (
@@ -734,7 +784,7 @@ def _fused3d_call_v4(b, cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh,
     )
     return pl.pallas_call(
         _make_kernel_v4(cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh,
-                        precision, groups, mac_mode),
+                        precision, groups, mac_mode, dbuf),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (b, vh, cout * vdp, 128), jnp.float32),
@@ -1005,7 +1055,7 @@ def _fused3d_forward(x_padded, kernel, out_dhw, groups=1, spectra=None):
         mats = [jnp.asarray(m) for m in _mats_v4(h, vh, nbd, pages)]
         call = _fused3d_call_v4(
             b, cin, cout, h, nbh, nbhp, pages, nbd, vdp, vh,
-            _PRECISION_3D, _is_cpu(), groups, _MAC3D_MODE,
+            _PRECISION_3D, _is_cpu(), groups, _MAC3D_MODE, _DBUF3D,
         )
         out = call(x, kr, ki, *mats)    # (B, VH, Cout*VDP, 128)
         out = out.reshape(b, vh, cout, vdp, 2, _TW)

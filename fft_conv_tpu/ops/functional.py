@@ -21,7 +21,6 @@ TPU-first design notes (not a torch translation):
     (complex64) and cast back — FFT twiddle accuracy requires fp32.
 """
 
-import math
 from functools import partial
 from typing import Iterable, Optional, Union
 
@@ -237,10 +236,12 @@ def fft_conv(
         eligible = n in (1, 2, 3)
         if impl == "fused" and not eligible:
             raise ValueError("impl='fused' requires 1D/2D/3D input")
-        # auto: the fused kernel's per-block FFT work only pays off once the
-        # kernel is large enough to be in FFT-conv territory at all
-        if impl == "auto" and math.prod(kernel.shape[2:]) < 64:
-            eligible = False
+        # No small-kernel cutoff: the round-4 full crossover sweep (v5e,
+        # doc/benchmark_results.json) measured fused faster than composed
+        # at EVERY small-kernel point the old prod(K)<64 gate excluded —
+        # 2D k=4 0.57 ms fused vs 4.51 composed, 2D k=1 0.32 vs 2.41,
+        # 3D k=1 0.91 vs 1.32, 1D k=1 0.067 vs 0.084 — so auto routes
+        # fused whenever a plan fits, at any kernel size.
         if eligible and n == 1 and (impl == "fused" or _on_tpu()):
             from ..kernels.fused1d import choose_fft_size, fft_conv1d_fused
 
