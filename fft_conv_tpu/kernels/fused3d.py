@@ -162,6 +162,35 @@ def set_fused3d_dbuf(on: bool) -> None:
         _fused3d_call_v4.cache_clear()
 
 
+# In-kernel kernel-spectra computation (v4 path): the XLA-side
+# _kernel_spectra_v4 materializes ~21 MB of (8, Cin/g, Cout, NBHP, 128)
+# intermediates through HBM every call (~0.17 ms at the 64^3 benchmark
+# shape, HBM-bound) and the kernel then loads the result back as a VMEM
+# input block. Inline mode instead ships the RAW taps (KD*Cpg*Cout,
+# KH*KW floats) plus three small factor matrices, and grid cell 0
+# computes the spectra straight into a persistent VMEM scratch with the
+# same all-matmul formulation (HIGHEST precision, identical math) —
+# zero spectra HBM traffic. Cells b>0 reuse the scratch (TPU grid cells
+# run sequentially on the core; scratch persists across them).
+# Default OFF — measured dead end on v5e (2026-08-19): at the 64^3
+# benchmark shape the inline kernel fails Mosaic allocation (133.74M >
+# the 128M vmem cap; the non-inline kernel already spills ~44M), and a
+# weight-chained timing loop puts the XLA-side spectra it would replace
+# at only ~5 us/step in-loop (0.948 vs 0.943 ms) — the 0.17 ms
+# standalone spectra dispatch does not survive inside a compiled step.
+# Shapes where it fits (``_inline_fits_v4``) can re-probe via this
+# toggle; forwards where it does not fit fall back to non-inline v4.
+_INLINE3D = False
+
+
+def set_fused3d_inline(on: bool) -> None:
+    """Toggles in-kernel v4 spectra computation (A/B probes). Only
+    shapes that pass ``_inline_fits_v4`` actually run inline; the rest
+    keep the XLA-side spectra path."""
+    global _INLINE3D
+    _INLINE3D = bool(on)
+
+
 def _tap_counts(kd: int) -> Tuple[int, int]:
     """(ME, MR): even-tap count and R-tap count (0 when KD has no odd taps).
 
@@ -191,7 +220,7 @@ def plan_3d(cin: int, cout: int, d: int, h: int, w: int,
         return None
     v4 = _plan_v4(cin, cout, d, h, w, kd, kh, kw, groups)
     if v4 is not None:
-        return v4
+        return v4[:6]  # strip the internal cell-bytes element
     return _plan_tap(cin, cout, d, h, w, kd, kh, kw, groups)
 
 
@@ -264,7 +293,34 @@ def _plan_v4(cin: int, cout: int, d: int, h: int, w: int,
     ) * 4
     if cell > _VOL_VMEM_BUDGET:
         return None
-    return ("v4", nbh, nbhp, pp, nbd, vdp)
+    return ("v4", nbh, nbhp, pp, nbd, vdp, cell)
+
+
+@lru_cache(maxsize=None)
+def _inline_fits_v4(cin: int, cout: int, d: int, h: int, w: int,
+                    kd: int, kh: int, kw: int, groups: int = 1) -> bool:
+    """Whether the IN-KERNEL spectra variant fits the v4 VMEM budget.
+
+    Inline mode adds the HW factor pair plus per-n-chunk live
+    temporaries (a_r/a_i + the two-dot partials of one 8-bin chunk);
+    the kr/ki spectra scratch itself is the same size as the input
+    blocks it replaces. Deliberately NOT part of ``_plan_v4``'s gate —
+    round-4 lesson: counting these bytes in the plan silently rerouted
+    the 64^3 benchmark shape to the tap kernel (0.95 -> 1.27 ms e2e),
+    and at that shape the inline kernel indeed fails Mosaic allocation
+    (133.74M > the 128M cap, measured 2026-08-19) — so inline-mode
+    forwards that don't fit fall back to the NON-inline v4 kernel, not
+    to the tap kernel."""
+    plan = _plan_v4(cin, cout, d, h, w, kd, kh, kw, groups)
+    if plan is None:
+        return False
+    nbhp, cell = plan[2], plan[6]
+    pco = (cin // groups) * cout
+    cell += (
+        2 * kh * kw * nbhp * 128
+        + (4 * kd * pco + 3 * 16 * pco) * 8 * 128
+    ) * 4
+    return cell <= _VOL_VMEM_BUDGET
 
 
 def _plan_tap(cin: int, cout: int, d: int, h: int, w: int,
@@ -497,6 +553,45 @@ def _spectra_dsign_v4(kd: int):
     return sgn
 
 
+@lru_cache(maxsize=None)
+def _spectra_hw_inline_v4(h: int, kh: int, kw: int, nbhp: int):
+    """Joint H x W spectra factor for the IN-KERNEL v4 spectra, in the
+    kernel's final lane layout (KH*KW, NBHP, 128): M[(k1,k2), n, s*TW+z]
+    = F[k1,n] * W[k2,z] duplicated into both lane halves (the fd
+    high-bit dependence rides the per-d sign mask), zero rows n>=NBH."""
+    nbh = h // 2 + 1
+    fr, fi = _rfft_mats(h)                     # (H, NBH)
+    wr, wi = _dft_mats(_TW, inverse=False)     # (TW, TW)
+    fc = (fr + 1j * fi)[:kh]                   # (KH, NBH)
+    wc = (wr + 1j * wi)[:kw]                   # (KW, TW)
+    m = np.zeros((kh * kw, nbhp, _TW), np.complex128)
+    m[:, :nbh, :] = np.einsum("kn,wz->kwnz", fc, wc).reshape(
+        kh * kw, nbh, _TW)
+    m = np.concatenate([m, m], axis=-1)        # both lane halves
+    return (np.ascontiguousarray(m.real, dtype=np.float32),
+            np.ascontiguousarray(m.imag, dtype=np.float32))
+
+
+@lru_cache(maxsize=None)
+def _spectra_sgn_inline_v4(kd: int, pco: int):
+    """(KD*PCO, 1, 128) sign mask for the in-kernel spectra rows (d-major,
+    PCO=(Cin/g)*Cout rows per d): lanes >= TW of odd-d rows carry -1."""
+    sgn = np.ones((kd * pco, 1, 128), np.float32)
+    for d in range(1, kd, 2):
+        sgn[d * pco:(d + 1) * pco, :, _TW:] = -1.0
+    return sgn
+
+
+@lru_cache(maxsize=None)
+def _spectra_dmats_inline_v4(kd: int):
+    """The (16, KD) re/im halves of _spectra_dmat_v4, contiguous — the
+    in-kernel D contraction runs as two leading dots (no stacked-rows
+    concat of the operand)."""
+    d2 = _spectra_dmat_v4(kd)
+    return (np.ascontiguousarray(d2[:, :kd]),
+            np.ascontiguousarray(d2[:, kd:]))
+
+
 def _kernel_spectra_v4(kernel: jax.Array, h: int, nbh: int, nbhp: int):
     """conj(DFT16_d(rfft_h(DFT64_w(kernel)))) in the kernel's MAC layout
     (8, Cin, Cout, NBHP, 128), lanes (fd-high-bit, w-bin), split re/im.
@@ -534,7 +629,8 @@ def _kernel_spectra_v4(kernel: jax.Array, h: int, nbh: int, nbhp: int):
 
 
 def _make_kernel_v4(cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh, precision,
-                    groups=1, mac_mode="loop", dbuf=True):
+                    groups=1, mac_mode="loop", dbuf=True, inline=False,
+                    kd=0, khw=0):
     """Overlap-save-D kernel body, batch-channel edition. Logical shapes:
       x        (H, Cin*PP, 128)   packed d-pair lanes, channels stacked
                                   along the page dim (one DMA per cell)
@@ -555,13 +651,44 @@ def _make_kernel_v4(cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh, precision,
     cpg = cin // groups
     opg = cout // groups
 
-    def body(
-        x_hbm, kr_ref, ki_ref,
-        f2m, bwr, bwi, bur, bui, g2m, twfr, twfi, twvr, twvi, w2m, cr2m,
-        out_ref, *scratch,
-    ):
-        tr_s, xd_s, y_s, dma_sem = scratch
+    pco = cpg * cout
+
+    def body(x_hbm, *args):
+        if inline:
+            (kt_ref, mr2m, mi2m, sgnm, d2rm, d2im,
+             f2m, bwr, bwi, bur, bui, g2m, twfr, twfi, twvr, twvi, w2m,
+             cr2m, out_ref, tr_s, xd_s, y_s, kr_ref, ki_ref,
+             dma_sem) = args
+        else:
+            (kr_ref, ki_ref,
+             f2m, bwr, bwi, bur, bui, g2m, twfr, twfi, twvr, twvi, w2m,
+             cr2m, out_ref, tr_s, xd_s, y_s, dma_sem) = args
         b = pl.program_id(0)
+
+        if inline:
+            # compute the conjugated kernel spectra ONCE (grid cell 0)
+            # into the persistent kr/ki scratch, in n-chunks of one 8-row
+            # tile: a[(d,co), nc, l] = kt @ M'[khw, nc, l], sign-masked
+            # (-1)^(d*s) on the lane halves, then the conjugated DFT-16
+            # D-contraction as two leading dots. HIGHEST precision —
+            # identical math to the XLA-side _kernel_spectra_v4.
+            @pl.when(b == 0)
+            def _spectra():
+                dn_l = (((1,), (0,)), ((), ()))
+                kt = kt_ref[...]                     # (KD*PCO, KHW)
+                sgn = sgnm[...]                      # (KD*PCO, 1, 128)
+                d2r_, d2i_ = d2rm[...], d2im[...]    # (16, KD)
+                for nc in range(nbhp // 8):
+                    mrc = mr2m[:, pl.dslice(nc * 8, 8), :]
+                    mic = mi2m[:, pl.dslice(nc * 8, 8), :]
+                    a_r = _dot(kt, mrc, dn_l, "highest") * sgn
+                    a_i = _dot(kt, mic, dn_l, "highest") * sgn
+                    a_r = a_r.reshape(kd, pco, 8, 128)
+                    a_i = a_i.reshape(kd, pco, 8, 128)
+                    oc = (_dot(d2r_, a_r, dn_l, "highest")
+                          + _dot(d2i_, a_i, dn_l, "highest"))
+                    kr_ref[:, :, pl.dslice(nc * 8, 8), :] = oc[:8]
+                    ki_ref[:, :, pl.dslice(nc * 8, 8), :] = oc[8:]
 
         if dbuf:
             # split-DMA overlap: x still stages into the XD scratch (free
@@ -644,7 +771,16 @@ def _make_kernel_v4(cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh, precision,
 
         # pointwise frequency MAC: walk (f8, fh-chunk); j-blocks ride as
         # a vector dim, kernel row f8 broadcasts across them; every Y
-        # cell is written exactly once (no RMW)
+        # cell is written exactly once (no RMW). Spectra reads come from
+        # the rank-5 input block (XLA-side spectra) or the rank-4
+        # in-kernel scratch (inline mode) — same (8, 128) slices.
+        if inline:
+            def kread(ref, f8, ci, o, ch):
+                return ref[f8, ci * cout + o, pl.dslice(ch, 8), :]
+        else:
+            def kread(ref, f8, ci, o, ch):
+                return ref[f8, ci, o, pl.dslice(ch, 8), :]
+
         def mac_it(it, carry):
             f8 = it // nch
             ch = (it % nch) * 8
@@ -665,8 +801,8 @@ def _make_kernel_v4(cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh, precision,
                     m1 = m2 = m3 = None
                     for ci in range(cpg):
                         xr, xi = xs[go * cpg + ci]   # (NBD, 8, 128)
-                        kro = kr_ref[f8, ci, o, pl.dslice(ch, 8), :][None]
-                        kio = ki_ref[f8, ci, o, pl.dslice(ch, 8), :][None]
+                        kro = kread(kr_ref, f8, ci, o, ch)[None]
+                        kio = kread(ki_ref, f8, ci, o, ch)[None]
                         p1 = xr * kro
                         p2 = xi * kio
                         # ksum add runs on the (1, 8, 128) kernel row —
@@ -681,8 +817,8 @@ def _make_kernel_v4(cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh, precision,
                     ar = ai = None
                     for ci in range(cpg):
                         xr, xi = xs[go * cpg + ci]   # (NBD, 8, 128)
-                        kro = kr_ref[f8, ci, o, pl.dslice(ch, 8), :][None]
-                        kio = ki_ref[f8, ci, o, pl.dslice(ch, 8), :][None]
+                        kro = kread(kr_ref, f8, ci, o, ch)[None]
+                        kio = kread(ki_ref, f8, ci, o, ch)[None]
                         tr = xr * kro - xi * kio
                         ti = xr * kio + xi * kro
                         ar = tr if ar is None else ar + tr
@@ -742,22 +878,33 @@ def _make_kernel_v4(cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh, precision,
 @lru_cache(maxsize=None)
 def _fused3d_call_v4(b, cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh,
                      precision, interpret, groups=1, mac_mode="loop",
-                     dbuf=True):
+                     dbuf=True, inline=False, kd=0, khw=0):
     if interpret and precision == "bf16x3":
         precision = "bf16x3_exact"  # see fused1d._dot3
     r_ = 8 * nbd
     cpg = cin // groups
+    pco = cpg * cout
     mat_spec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     spec_block = lambda: pl.BlockSpec(  # noqa: E731
         (8, cpg, cout, nbhp, 128), lambda b_: (0, 0, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
+    if inline:
+        # raw taps + 5 small spectra factors instead of two 10 MB-class
+        # spectra blocks; the spectra live in persistent scratch instead
+        spectra_in = [mat_spec() for _ in range(6)]
+        spectra_scratch = [
+            pltpu.VMEM((8, pco, nbhp, 128), jnp.float32),  # kr
+            pltpu.VMEM((8, pco, nbhp, 128), jnp.float32),  # ki
+        ]
+    else:
+        spectra_in = [spec_block(), spec_block()]
+        spectra_scratch = []
     grid_spec = pl.GridSpec(
         grid=(b,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # x (B, H, Cin*PP, 128)
-            spec_block(), spec_block(),
-        ] + [mat_spec() for _ in range(12)],
+        ] + spectra_in + [mat_spec() for _ in range(12)],
         out_specs=pl.BlockSpec(
             (1, vh, cout * vdp, 128), lambda b_: (b_, 0, 0, 0),
             memory_space=pltpu.VMEM,
@@ -772,6 +919,7 @@ def _fused3d_call_v4(b, cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh,
             pltpu.VMEM((max(2 * r_, h),
                         max(cin * nbhp, cin * pp), 128), jnp.float32),
             pltpu.VMEM((2 * r_, cout * nbhp, 128), jnp.float32),  # Y
+        ] + spectra_scratch + [
             pltpu.SemaphoreType.DMA((cin,)) if dbuf
             else pltpu.SemaphoreType.DMA(()),
         ],
@@ -782,9 +930,12 @@ def _fused3d_call_v4(b, cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh,
         + cout * cpg * r_ * nbhp * 128 * 4                   # MAC (VPU)
         + cout * (4 * 128 + 2 * vh * nbh / 128) * vdp * 128  # W/H inv
     )
+    if inline:
+        flops += 2 * kd * pco * nbhp * 128 * (2 * khw + 32)
     return pl.pallas_call(
         _make_kernel_v4(cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh,
-                        precision, groups, mac_mode, dbuf),
+                        precision, groups, mac_mode, dbuf, inline, kd,
+                        khw),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (b, vh, cout * vdp, 128), jnp.float32),
@@ -1047,17 +1198,40 @@ def _fused3d_forward(x_padded, kernel, out_dhw, groups=1, spectra=None):
         # xp[b, h, c*PP + p, TW*s + w] = x[b, c, 2p + s, h, w]
         x = jnp.transpose(x, (0, 4, 1, 2, 3, 5))
         x = x.reshape(b, h, cin * pages, 2 * _TW)
-        kr, ki = (
-            spectra
-            if spectra is not None
-            else _kernel_spectra_v4(kernel.astype(jnp.float32), h, nbh, nbhp)
-        )
         mats = [jnp.asarray(m) for m in _mats_v4(h, vh, nbd, pages)]
+        inline = (
+            spectra is None
+            and _INLINE3D
+            and _inline_fits_v4(cin, cout, d, h, w, kd, kh, kw, groups)
+        )
+        if inline:
+            # ship raw taps; cell 0 computes the spectra in-kernel
+            pco = cpg * cout
+            kt = jnp.transpose(
+                kernel.astype(jnp.float32), (2, 1, 0, 3, 4)
+            ).reshape(kd * pco, kh * kw)
+            d2r, d2i = _spectra_dmats_inline_v4(kd)
+            sp_args = (
+                kt,
+                *(jnp.asarray(m) for m in
+                  _spectra_hw_inline_v4(h, kh, kw, nbhp)),
+                jnp.asarray(_spectra_sgn_inline_v4(kd, pco)),
+                jnp.asarray(d2r), jnp.asarray(d2i),
+            )
+        else:
+            kr, ki = (
+                spectra
+                if spectra is not None
+                else _kernel_spectra_v4(
+                    kernel.astype(jnp.float32), h, nbh, nbhp)
+            )
+            sp_args = (kr, ki)
         call = _fused3d_call_v4(
             b, cin, cout, h, nbh, nbhp, pages, nbd, vdp, vh,
             _PRECISION_3D, _is_cpu(), groups, _MAC3D_MODE, _DBUF3D,
+            inline, kd if inline else 0, kh * kw if inline else 0,
         )
-        out = call(x, kr, ki, *mats)    # (B, VH, Cout*VDP, 128)
+        out = call(x, *sp_args, *mats)    # (B, VH, Cout*VDP, 128)
         out = out.reshape(b, vh, cout, vdp, 2, _TW)
         out = jnp.transpose(out, (0, 2, 3, 4, 1, 5))
         out = out.reshape(b, cout, 2 * vdp, vh, _TW)

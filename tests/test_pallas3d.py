@@ -137,6 +137,39 @@ def test_fused3d_mac_kara_matches_loop(groups):
     _assert_close_scaled(got, ref)
 
 
+@pytest.mark.parametrize("groups", [1, 2])
+def test_fused3d_inline_spectra_matches_loop(groups):
+    """Inline mode moves the kernel-spectra computation into grid cell 0
+    of the v4 kernel (identical all-matmul math at HIGHEST precision);
+    it must match the torch oracle to the same bar. Shapes here pass
+    ``_inline_fits_v4``; too-big shapes (e.g. the 64^3 benchmark shape,
+    133.74M > the 128M vmem cap measured on v5e) silently fall back to
+    the XLA-side spectra path — also asserted."""
+    from fft_conv_tpu.kernels.fused3d import (
+        _inline_fits_v4,
+        set_fused3d_inline,
+    )
+
+    assert not _inline_fits_v4(8, 8, 64, 64, 64, 8, 8, 8, 1)
+    rng = np.random.default_rng(29)
+    sig = rng.standard_normal((1, 4, 20, 16, 14)).astype(np.float32)
+    ker = rng.standard_normal((4, 4 // groups, 5, 3, 3)).astype(np.float32)
+    bias = rng.standard_normal((4,)).astype(np.float32)
+    assert plan_3d(4, 4, 20, 16, 14, 5, 3, 3, groups)[0] == "v4"
+    assert _inline_fits_v4(4, 4, 20, 16, 14, 5, 3, 3, groups)
+    ref = TF.conv3d(torch.tensor(sig), torch.tensor(ker),
+                    torch.tensor(bias), groups=groups).numpy()
+    set_fused3d_inline(True)
+    try:
+        got = fft_conv3d_fused(
+            jnp.asarray(sig), jnp.asarray(ker), jnp.asarray(bias),
+            groups=groups,
+        )
+    finally:
+        set_fused3d_inline(False)
+    _assert_close_scaled(got, ref)
+
+
 def test_fused3d_grouped_gradients_match_composed():
     rng = np.random.default_rng(17)
     sig = jnp.asarray(
