@@ -191,6 +191,56 @@ def set_fused3d_inline(on: bool) -> None:
     _INLINE3D = bool(on)
 
 
+# v4 x-pack layout: how the wrapper lays x out in HBM and how the kernel
+# assembles the (H, PP, 128) channel slabs the fwd transforms consume.
+#   "h"  — wrapper does the full 6D pad+transpose to (B, H, Cin*PP, 128)
+#          (h-major rows, d-pairs packed into 64-lane halves); the kernel
+#          DMAs channel windows straight into the XD staging region.
+#   "d2" — wrapper keeps h in place and only interleaves the d-pair dim
+#          into lanes: (B, Cin*PP, h, 128); the kernel DMAs (PP, H, 128)
+#          per channel into a 2-slot ping-pong scratch and outer-swaps to
+#          (H, PP, 128) (near-free page/sublane permute).
+#   "d0" — wrapper is PURE pad+reshape: (B, Cin*D, h, 128) with w padded
+#          to all 128 lanes (2x HBM bytes); the kernel de-interleaves the
+#          d-pairs itself (leading-dim split + outer swaps + lane roll).
+# Motivation (v5e 2026-08-19, scratch/tpu_r4_barrier.py): the "h" pack
+# reads 0.027 ms standalone but ~0.14 ms when it shares a jit program
+# with the Mosaic call, and optimization_barrier does not recover it —
+# these modes move the reordering into the kernel to dodge whatever the
+# in-context lowering penalty is. MEASURED (v5e 2026-08-19,
+# scratch/tpu_r4_xpack.py, 64^3 K=8^3 same session): "h2" — the same
+# destination layout reached by two clean XLA transposes (minor d-pair
+# interleave, then a rank-3 whole-lane page transpose) — recovers most
+# of the penalty: 0.702 ms e2e vs "h" 0.786 (-11%). In-kernel
+# reordering is a dead end: "d2" 0.835 (the per-channel outer swaps
+# inside the main kernel cost more than the wrapper pack they replace),
+# "d0" fails Mosaic allocation at 64^3 (staging can't carve into XD and
+# a dedicated scratch blows the 128M cap), and the dedicated pack
+# kernel "pk" reads 0.903 (its extra dispatch + full HBM round trip of
+# x outweighs the fusion-codegen penalty it dodges).
+_XPACK3D = "h2"
+
+
+def set_fused3d_xpack(mode: str) -> None:
+    """Selects the v4 x-pack layout — A/B probes.
+
+    "h" | "d2" | "d0" change the HBM layout the main kernel consumes
+    (see above). Two further modes keep the main kernel on the "h"
+    layout and only change HOW the wrapper produces it:
+      "h2" — the 6D pad+transpose is split into two clean steps (minor
+             d-pair interleave, then a rank-3 whole-lane page
+             transpose), aiming at XLA's fast transpose emitter.
+      "pk" — a dedicated Pallas pack kernel (_pack3d_call) so no XLA
+             fusion codegen sits between the pack and the main Mosaic
+             call; requires PP % 8 == 0 (sublane-aligned channel
+             stores), else silently packs like "h".
+    """
+    global _XPACK3D
+    if mode not in ("h", "d2", "d0", "h2", "pk"):
+        raise ValueError(f"unknown fused 3D x-pack mode: {mode!r}")
+    _XPACK3D = mode
+
+
 def _tap_counts(kd: int) -> Tuple[int, int]:
     """(ME, MR): even-tap count and R-tap count (0 when KD has no odd taps).
 
@@ -628,9 +678,30 @@ def _kernel_spectra_v4(kernel: jax.Array, h: int, nbh: int, nbhp: int):
     return kr, ki
 
 
+def _xpack_carve(cin, h, nbhp, pp, nbd, xpack):
+    """Carve geometry for staging the xpack!="h" x copy inside XD.
+
+    Returns (xrows, ncarve, rx) — per-channel row count, band count, and
+    rows per band — when the staging fits the dead-until-butterfly XD
+    region (band i holds x rows [i*rx, (i+1)*rx) in XD cols
+    [i*h, i*h+h)), else None. rx is the largest whole-channel multiple
+    of xrows fitting XD's 2R pages, so every channel slab lives inside
+    one band."""
+    if xpack == "h":
+        return None
+    xrows = 2 * pp if xpack == "d0" else pp
+    rx = (2 * 8 * nbd // xrows) * xrows
+    if rx == 0:
+        return None
+    nc = -(-cin * xrows // rx)
+    if nc * h <= cin * nbhp:
+        return xrows, nc, rx
+    return None
+
+
 def _make_kernel_v4(cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh, precision,
                     groups=1, mac_mode="loop", dbuf=True, inline=False,
-                    kd=0, khw=0):
+                    kd=0, khw=0, xpack="h"):
     """Overlap-save-D kernel body, batch-channel edition. Logical shapes:
       x        (H, Cin*PP, 128)   packed d-pair lanes, channels stacked
                                   along the page dim (one DMA per cell)
@@ -658,11 +729,16 @@ def _make_kernel_v4(cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh, precision,
             (kt_ref, mr2m, mi2m, sgnm, d2rm, d2im,
              f2m, bwr, bwi, bur, bui, g2m, twfr, twfi, twvr, twvi, w2m,
              cr2m, out_ref, tr_s, xd_s, y_s, kr_ref, ki_ref,
-             dma_sem) = args
+             *xrest) = args
         else:
             (kr_ref, ki_ref,
              f2m, bwr, bwi, bur, bui, g2m, twfr, twfi, twvr, twvi, w2m,
-             cr2m, out_ref, tr_s, xd_s, y_s, dma_sem) = args
+             cr2m, out_ref, tr_s, xd_s, y_s, *xrest) = args
+        carve = _xpack_carve(cin, h, nbhp, pp, nbd, xpack)
+        if xpack == "h" or carve is not None:
+            (dma_sem,) = xrest
+        else:
+            xst_s, dma_sem = xrest
         b = pl.program_id(0)
 
         if inline:
@@ -690,7 +766,44 @@ def _make_kernel_v4(cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh, precision,
                     kr_ref[:, :, pl.dslice(nc * 8, 8), :] = oc[:8]
                     ki_ref[:, :, pl.dslice(nc * 8, 8), :] = oc[8:]
 
-        if dbuf:
+        if xpack != "h":
+            # x stages into VMEM whole; the fwd loop assembles each
+            # (H, PP, 128) channel slab with in-kernel outer swaps (and,
+            # for "d0", the d-pair lane interleave), so the wrapper never
+            # relocates h. Staging carves into the XD region when it fits
+            # (XD is dead until the post-fwd butterfly; zero extra VMEM),
+            # else a dedicated scratch.
+            xrows = 2 * pp if xpack == "d0" else pp
+            rx = carve[2] if carve is not None else 2 * r_
+            if carve is not None:
+                for i in range(carve[1]):
+                    lo = i * rx
+                    nr = min(rx, cin * xrows - lo)
+                    pltpu.make_async_copy(
+                        x_hbm.at[b, pl.dslice(lo, nr), :, :],
+                        xd_s.at[pl.dslice(0, nr), pl.dslice(i * h, h), :],
+                        dma_sem.at[i],
+                    ).start()
+                for i in range(carve[1]):
+                    lo = i * rx
+                    nr = min(rx, cin * xrows - lo)
+                    pltpu.make_async_copy(
+                        x_hbm.at[b, pl.dslice(lo, nr), :, :],
+                        xd_s.at[pl.dslice(0, nr), pl.dslice(i * h, h), :],
+                        dma_sem.at[i],
+                    ).wait()
+            else:
+                for c in range(cin):
+                    pltpu.make_async_copy(
+                        x_hbm.at[b, pl.dslice(c * xrows, xrows), :, :],
+                        xst_s.at[c], dma_sem.at[c],
+                    ).start()
+                for c in range(cin):
+                    pltpu.make_async_copy(
+                        x_hbm.at[b, pl.dslice(c * xrows, xrows), :, :],
+                        xst_s.at[c], dma_sem.at[c],
+                    ).wait()
+        elif dbuf:
             # split-DMA overlap: x still stages into the XD scratch (free
             # until the post-fwd butterfly), but as CIN per-channel DMAs
             # into disjoint regions, ALL started up front — the DMA engine
@@ -720,7 +833,7 @@ def _make_kernel_v4(cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh, precision,
         cr2_ = cr2m[...]
         lmask = lax.broadcasted_iota(jnp.int32, (r_, nbhp, 128), 2) < _TW
 
-        if not dbuf:
+        if xpack == "h" and not dbuf:
             # x stages into the XD scratch (x is fully consumed before
             # the first XD write — see below), saving a staging buffer
             dma = pltpu.make_async_copy(
@@ -730,14 +843,39 @@ def _make_kernel_v4(cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh, precision,
             )
             dma.start()
             dma.wait()
+        if xpack == "d0":
+            lmask_x = (
+                lax.broadcasted_iota(jnp.int32, (h, pp, 128), 2) < _TW
+            )
 
         # H fwd (leading) + W fwd (minor) + page/sublane transpose into
         # the D-leading stacked layout [Sr; Si] (2*PP, Cin*NBHP, 128),
         # chunked per channel to bound live temporaries
         for c in range(cin):
-            if dbuf:
-                get_dma(c).wait()
-            xc = xd_s[pl.dslice(0, h), pl.dslice(c * pp, pp), :]
+            if xpack != "h":
+                if carve is not None:
+                    r0 = c * xrows
+                    band = r0 // rx
+                    st = xd_s[pl.dslice(r0 - band * rx, xrows),
+                              pl.dslice(band * h, h), :]
+                else:
+                    st = xst_s[c]
+                if xpack == "d0":
+                    # rows are raw d: leading split into (PP, 2) pages,
+                    # outer-swap each half to h-major, odd half rolls its
+                    # w data into the upper 64-lane half
+                    st4 = st.reshape(pp, 2, h, 2 * _TW)
+                    tet = jnp.transpose(st4[:, 0], (1, 0, 2))
+                    tot = jnp.transpose(st4[:, 1], (1, 0, 2))
+                    xc = jnp.where(
+                        lmask_x, tet, pltpu.roll(tot, _TW, axis=2))
+                else:
+                    # rows are packed d-pairs already: one outer swap
+                    xc = jnp.transpose(st, (1, 0, 2))
+            else:
+                if dbuf:
+                    get_dma(c).wait()
+                xc = xd_s[pl.dslice(0, h), pl.dslice(c * pp, pp), :]
             ac = _dot(f2_, xc, dn_lead, precision)   # (2*NBHP, PP, 128)
             b1 = _dot(ac, bwr_, dn_min3, precision)  # [Hr*Wr; Hi*Wr]
             b2 = _dot(ac, bwi_, dn_min3, precision)  # [Hr*Wi; Hi*Wi]
@@ -878,10 +1016,11 @@ def _make_kernel_v4(cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh, precision,
 @lru_cache(maxsize=None)
 def _fused3d_call_v4(b, cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh,
                      precision, interpret, groups=1, mac_mode="loop",
-                     dbuf=True, inline=False, kd=0, khw=0):
+                     dbuf=True, inline=False, kd=0, khw=0, xpack="h"):
     if interpret and precision == "bf16x3":
         precision = "bf16x3_exact"  # see fused1d._dot3
     r_ = 8 * nbd
+    carve = _xpack_carve(cin, h, nbhp, pp, nbd, xpack)
     cpg = cin // groups
     pco = cpg * cout
     mat_spec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
@@ -914,15 +1053,26 @@ def _fused3d_call_v4(b, cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh,
             # inv [Er; Ei] (2NBHP, Cout*VDP)
             pltpu.VMEM((max(2 * pp, 2 * nbhp),
                         max(cin * nbhp, cout * vdp), 128), jnp.float32),
-            # XD, doubling as the x staging buffer (x (H, Cin*PP) is
-            # consumed by the fwd transforms before XD is written)
-            pltpu.VMEM((max(2 * r_, h),
-                        max(cin * nbhp, cin * pp), 128), jnp.float32),
+            # XD; for xpack "h" it doubles as the x staging buffer
+            # (x (H, Cin*PP) is consumed by the fwd transforms before XD
+            # is written); otherwise x stages via the ping-pong scratch
+            pltpu.VMEM((
+                (2 * r_, cin * nbhp, 128) if xpack != "h" else
+                (max(2 * r_, h), max(cin * nbhp, cin * pp), 128)
+            ), jnp.float32),
             pltpu.VMEM((2 * r_, cout * nbhp, 128), jnp.float32),  # Y
-        ] + spectra_scratch + [
-            pltpu.SemaphoreType.DMA((cin,)) if dbuf
-            else pltpu.SemaphoreType.DMA(()),
-        ],
+        ] + spectra_scratch + (
+            [pltpu.SemaphoreType.DMA((carve[1],))]
+            if carve is not None else
+            [
+                pltpu.VMEM((cin, 2 * pp if xpack == "d0" else pp, h, 128),
+                           jnp.float32),
+                pltpu.SemaphoreType.DMA((cin,)),
+            ] if xpack != "h" else [
+                pltpu.SemaphoreType.DMA((cin,)) if dbuf
+                else pltpu.SemaphoreType.DMA(()),
+            ]
+        ),
     )
     flops = b * 2 * (
         cin * (2 * nbhp * h + 4 * 128) * pp * 128            # H + W fwd
@@ -935,7 +1085,7 @@ def _fused3d_call_v4(b, cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh,
     return pl.pallas_call(
         _make_kernel_v4(cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh,
                         precision, groups, mac_mode, dbuf, inline, kd,
-                        khw),
+                        khw, xpack),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (b, vh, cout * vdp, 128), jnp.float32),
@@ -943,6 +1093,56 @@ def _fused3d_call_v4(b, cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh,
             flops=int(flops),
             bytes_accessed=(b * cin * h * pp + b * cout * vh * vdp)
             * 128 * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+
+@lru_cache(maxsize=None)
+def _pack3d_call(b, cin, pp, h, interpret):
+    """Dedicated x-pack kernel ("pk" xpack mode): (B, Cin*2PP, H, TW) ->
+    (B, H, Cin*PP, 128), the exact main-kernel x layout. Per channel:
+    leading split into d-pair halves, lane concat (even | odd), one
+    page/sublane outer swap. Motivation (v5e 2026-08-19,
+    scratch/tpu_r4_barrier.py): the XLA 6D pad+transpose costs ~5x its
+    standalone time when it shares a program with the Mosaic main call,
+    and optimization_barrier can't recover it — a custom call -> custom
+    call chain has no XLA fusion codegen in between."""
+
+    def body(x_ref, out_ref):
+        for c in range(cin):
+            sl = x_ref[0, pl.dslice(c * 2 * pp, 2 * pp), :, :]
+            s4 = sl.reshape(pp, 2, h, _TW)
+            xc = jnp.concatenate([s4[:, 0], s4[:, 1]], axis=-1)
+            out_ref[0, :, pl.dslice(c * pp, pp), :] = jnp.transpose(
+                xc, (1, 0, 2)
+            )
+
+    return pl.pallas_call(
+        body,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, cin * 2 * pp, h, _TW),
+                lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, h, cin * pp, 2 * _TW),
+            lambda i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, h, cin * pp, 2 * _TW), jnp.float32
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=0,
+            bytes_accessed=b * cin * pp * h * 128 * 2 * 4,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
@@ -1188,16 +1388,47 @@ def _fused3d_forward(x_padded, kernel, out_dhw, groups=1, spectra=None):
 
     # pack lanes: two consecutive D-slabs share one 128-lane tile
     x = x_padded.astype(jnp.float32)
-    if 2 * pages != d or w != _TW:
+    xpack = _XPACK3D if plan[0] == "v4" else "h"
+    if xpack == "pk" and pages % 8 != 0:
+        xpack = "h"  # sublane-aligned channel stores required
+    if xpack == "d0":
+        # pure pad+reshape: rows (c, d), w padded across all 128 lanes
+        # (the kernel de-interleaves the d-pairs into lane halves)
         x = jnp.pad(
-            x, ((0, 0), (0, 0), (0, 2 * pages - d), (0, 0), (0, _TW - w))
+            x, ((0, 0), (0, 0), (0, 2 * pages - d), (0, 0),
+                (0, 2 * _TW - w))
         )
-    x = x.reshape(b, cin, pages, 2, h, _TW)
+        x = x.reshape(b, cin * 2 * pages, h, 2 * _TW)
+    else:
+        if 2 * pages != d or w != _TW:
+            x = jnp.pad(
+                x,
+                ((0, 0), (0, 0), (0, 2 * pages - d), (0, 0),
+                 (0, _TW - w)),
+            )
+        x = x.reshape(b, cin, pages, 2, h, _TW)
 
     if plan[0] == "v4":
-        # xp[b, h, c*PP + p, TW*s + w] = x[b, c, 2p + s, h, w]
-        x = jnp.transpose(x, (0, 4, 1, 2, 3, 5))
-        x = x.reshape(b, h, cin * pages, 2 * _TW)
+        if xpack == "h":
+            # xp[b, h, c*PP + p, TW*s + w] = x[b, c, 2p + s, h, w]
+            x = jnp.transpose(x, (0, 4, 1, 2, 3, 5))
+            x = x.reshape(b, h, cin * pages, 2 * _TW)
+        elif xpack == "h2":
+            # same destination layout as "h", reached in two clean
+            # steps: minor d-pair interleave, then a rank-3 page-level
+            # transpose with whole 128-lane rows
+            x = jnp.transpose(x, (0, 1, 2, 4, 3, 5))
+            x = x.reshape(b, cin * pages, h, 2 * _TW)
+            x = jnp.swapaxes(x, 1, 2)
+        elif xpack == "pk":
+            # dedicated Pallas pack kernel -> "h" layout
+            x = x.reshape(b, cin * pages * 2, h, _TW)
+            x = _pack3d_call(b, cin, pages, h, _is_cpu())(x)
+        elif xpack == "d2":
+            # xp[b, c*PP + p, h, TW*s + w]: d-pairs into lanes, h stays
+            # put (the kernel outer-swaps each channel slab to h-major)
+            x = jnp.transpose(x, (0, 1, 2, 4, 3, 5))
+            x = x.reshape(b, cin * pages, h, 2 * _TW)
         mats = [jnp.asarray(m) for m in _mats_v4(h, vh, nbd, pages)]
         inline = (
             spectra is None
@@ -1230,6 +1461,8 @@ def _fused3d_forward(x_padded, kernel, out_dhw, groups=1, spectra=None):
             b, cin, cout, h, nbh, nbhp, pages, nbd, vdp, vh,
             _PRECISION_3D, _is_cpu(), groups, _MAC3D_MODE, _DBUF3D,
             inline, kd if inline else 0, kh * kw if inline else 0,
+            # h2/pk produce the "h" layout; the main kernel is identical
+            xpack if xpack in ("d2", "d0") else "h",
         )
         out = call(x, *sp_args, *mats)    # (B, VH, Cout*VDP, 128)
         out = out.reshape(b, vh, cout, vdp, 2, _TW)

@@ -170,6 +170,35 @@ def test_fused3d_inline_spectra_matches_loop(groups):
     _assert_close_scaled(got, ref)
 
 
+@pytest.mark.parametrize("xpack", ["d2", "d0", "h2", "pk"])
+@pytest.mark.parametrize("groups", [1, 2])
+def test_fused3d_xpack_matches_torch(xpack, groups):
+    """The xpack modes only change where the d-pair/h reordering of x
+    happens (wrapper XLA transpose vs in-kernel outer swaps + lane roll,
+    staged through the dead XD region when the carve fits); the math is
+    identical, so every mode must hit the torch oracle to the same bar."""
+    from fft_conv_tpu.kernels import fused3d
+    from fft_conv_tpu.kernels.fused3d import set_fused3d_xpack
+
+    default_xpack = fused3d._XPACK3D
+    rng = np.random.default_rng(31)
+    sig = rng.standard_normal((1, 4, 20, 16, 14)).astype(np.float32)
+    ker = rng.standard_normal((4, 4 // groups, 5, 3, 3)).astype(np.float32)
+    bias = rng.standard_normal((4,)).astype(np.float32)
+    assert plan_3d(4, 4, 20, 16, 14, 5, 3, 3, groups)[0] == "v4"
+    ref = TF.conv3d(torch.tensor(sig), torch.tensor(ker),
+                    torch.tensor(bias), groups=groups).numpy()
+    set_fused3d_xpack(xpack)
+    try:
+        got = fft_conv3d_fused(
+            jnp.asarray(sig), jnp.asarray(ker), jnp.asarray(bias),
+            groups=groups,
+        )
+    finally:
+        set_fused3d_xpack(default_xpack)
+    _assert_close_scaled(got, ref)
+
+
 def test_fused3d_grouped_gradients_match_composed():
     rng = np.random.default_rng(17)
     sig = jnp.asarray(
