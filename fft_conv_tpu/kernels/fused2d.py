@@ -118,6 +118,25 @@ def set_fused2d_mac(mode: str) -> None:
         _fused2d_call.cache_clear()
 
 
+# 2-slot ping-pong x staging (v2 kernel): cell li computes from slot
+# li%2 while cell li+1's H-window streams into the other slot, hiding
+# the per-cell serial DMA (x windows re-read (K1-1)-row overlaps, so the
+# benchmark 512^2 shape moves ~26 MB of x across 10 cells). Cost: one
+# extra (Cin, nt2, T1, T2) VMEM slot (~2.6 MB at the benchmark shape).
+# Default ON: measured on v5e 2026-08-19 (scratch/tpu_r4_2ddbuf.py) at
+# 512^2 B=2 8->8ch — 0.464 vs 0.566 ms at K=16 (-18%), 0.587 vs 0.698
+# at K=34 (-16%), identical parity.
+_DBUF2D = True
+
+
+def set_fused2d_dbuf(on: bool) -> None:
+    """Toggles the v2 kernel's ping-pong x prefetch (default on)."""
+    global _DBUF2D
+    if bool(on) != _DBUF2D:
+        _DBUF2D = bool(on)
+        _fused2d_call.cache_clear()
+
+
 def _mac_2d(drs, dis, dsum, kr_ref, ki_ref, ks_ref, o, opg, cpg, mac_mode):
     """Per-bin grouped complex MAC over in-channels -> (yr, yi) for out-
     channel ``o``. See _MAC2D_MODE for the two strategies."""
@@ -171,7 +190,12 @@ def fused2d_fits(
     ow = wp - k2 + 1
     nt2 = -(-ow // v2)
     cin = cin_total if cin_total is not None else cin_g
-    return (cin * t1 + cout * v1) * nt2 * t2 * 4 <= _CELL2D_VMEM_BUDGET
+    # the ping-pong prefetch doubles the x staging slot
+    xslots = 2 if _DBUF2D else 1
+    return (
+        (xslots * cin * t1 + cout * v1) * nt2 * t2 * 4
+        <= _CELL2D_VMEM_BUDGET
+    )
 
 
 def tile_plan_2d(k1: int, k2: int, cin_g: int, cout: int):
@@ -281,7 +305,7 @@ def _kernel_spectra_2d(kernel: jax.Array, t1: int, nb1: int, t2: int):
 
 
 def _make_kernel_2d(t1, nb1, t2, v1, v2, nt2, cin, cout, groups, precision,
-                    mac_mode="loop"):
+                    mac_mode="loop", dbuf=False):
     cpg = cin // groups
     opg = cout // groups
 
@@ -302,12 +326,40 @@ def _make_kernel_2d(t1, nb1, t2, v1, v2, nt2, cin, cout, groups, precision,
         # 8-alignment only (guaranteed: tile_plan_2d rounds V1 to a multiple
         # of 8); lane-axis DMA offsets would have to be 128-aligned, which
         # the overlapping V2 stride cannot satisfy (Mosaic rejects it).
-        dma = pltpu.make_async_copy(
-            x_hbm.at[b, :, :, pl.ds(i * v1, t1), :],
-            x_vmem, dma_sem,
-        )
-        dma.start()
-        dma.wait()
+        if dbuf:
+            # 2-slot ping-pong: cell li computes from slot li%2 while the
+            # NEXT cell's window streams into the other slot (grid cells
+            # run sequentially; slot li+1 was last touched by cell li-1,
+            # whose compute is done). Cost: one extra x_vmem slot.
+            n1 = pl.num_programs(1)
+            li = b * n1 + i
+            total = pl.num_programs(0) * n1
+
+            def get_dma(li_, slot):
+                return pltpu.make_async_copy(
+                    x_hbm.at[li_ // n1, :, :,
+                             pl.ds((li_ % n1) * v1, t1), :],
+                    x_vmem.at[slot], dma_sem.at[slot],
+                )
+
+            @pl.when(li == 0)
+            def _first():
+                get_dma(0, 0).start()
+
+            @pl.when(li + 1 < total)
+            def _prefetch():
+                get_dma(li + 1, (li + 1) % 2).start()
+
+            get_dma(li, li % 2).wait()
+            xv = x_vmem.at[li % 2]
+        else:
+            dma = pltpu.make_async_copy(
+                x_hbm.at[b, :, :, pl.ds(i * v1, t1), :],
+                x_vmem, dma_sem,
+            )
+            dma.start()
+            dma.wait()
+            xv = x_vmem
 
         # Every matmul below is a plain 2D dot with M in {NB1, V1} rows —
         # rank>2 dot_generals with large leading dims make Mosaic unroll
@@ -324,7 +376,7 @@ def _make_kernel_2d(t1, nb1, t2, v1, v2, nt2, cin, cout, groups, precision,
             # forward H (one-sided) + W (full) DFTs per in-channel
             drs, dis = [], []
             for c in range(cin):
-                a = x_vmem[c, j]  # (T1, T2) real
+                a = xv[c, j]  # (T1, T2) real
                 hr = _dot(frm, a, dn2, precision)  # (NB1, T2)
                 hi = _dot(fim, a, dn2, precision)
                 drs.append(
@@ -431,7 +483,7 @@ def _make_kernel_2d_v3(t1, nb1p, t2, v1, v2, nt2, cin, cout, groups,
 @lru_cache(maxsize=None)
 def _fused2d_call(
     b, nt1, nt2, t1, nb1, t2, v1, v2, cin, cout, groups, precision, interpret,
-    version="v2", mac_mode="loop",
+    version="v2", mac_mode="loop", dbuf=False,
 ):
     if interpret and precision == "bf16x3":
         precision = "bf16x3_exact"  # see fused1d._dot3
@@ -458,8 +510,13 @@ def _fused2d_call(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((cin, nt2, t1, t2), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM(
+                ((2, cin, nt2, t1, t2) if dbuf and version != "v3"
+                 else (cin, nt2, t1, t2)),
+                jnp.float32,
+            ),
+            (pltpu.SemaphoreType.DMA((2,)) if dbuf and version != "v3"
+             else pltpu.SemaphoreType.DMA(())),
         ],
     )
     # per-cell matmul flops (one real mul-add = 2 flops; v3 does the same
@@ -472,9 +529,10 @@ def _fused2d_call(
     )
     make = _make_kernel_2d_v3 if version == "v3" else _make_kernel_2d
     body_nb1 = nb1p if version == "v3" else nb1
+    make_kw = {} if version == "v3" else {"dbuf": dbuf}
     return pl.pallas_call(
         make(t1, body_nb1, t2, v1, v2, nt2, cin, cout, groups,
-             precision, mac_mode),
+             precision, mac_mode, **make_kw),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (b, nt1, v1, cout, nt2, t2), jnp.float32
@@ -546,7 +604,7 @@ def _fused2d_forward(x_padded, kernel, out_hw, groups=1, spectra=None):
     mac_mode = _MAC2D_MODE
     call = _fused2d_call(
         b, nt1, nt2, t1, nb1, t2, v1, v2, cin, cout, groups,
-        _PRECISION_2D, _is_cpu(), version, mac_mode,
+        _PRECISION_2D, _is_cpu(), version, mac_mode, _DBUF2D,
     )
     spectra_args = (kr, ki, kr + ki) if mac_mode == "kara" else (kr, ki)
     out = call(x, *spectra_args, *mats)

@@ -154,11 +154,43 @@ def set_fused3d_mac(mode: str) -> None:
 _DBUF3D = False
 
 
-def set_fused3d_dbuf(on: bool) -> None:
-    """Toggles the v4 kernel's split-DMA x staging (A/B probes)."""
+def set_fused3d_dbuf(mode) -> None:
+    """Selects the v4 kernel's x-staging DMA form (A/B probes).
+
+    False — one big copy, start+wait up front (the shipping form).
+    "par" — CIN per-channel copies, ALL started then ALL waited up
+            front: identical live ranges to False (no interleave into
+            the fwd loop), probing whether parallel DMA streams
+            aggregate more HBM bandwidth than one descriptor.
+    True  — per-channel copies waited inside the fwd loop (the measured
+            OOM form; kept for re-probing if Mosaic's allocator
+            improves)."""
     global _DBUF3D
-    if bool(on) != _DBUF3D:
-        _DBUF3D = bool(on)
+    if mode not in (False, True, "par"):
+        raise ValueError(f"unknown fused 3D dbuf mode: {mode!r}")
+    if mode != _DBUF3D:
+        _DBUF3D = mode
+        _fused3d_call_v4.cache_clear()
+
+
+# ANY-space spectra staging ("kany"): the XLA-side kernel spectra
+# (~21 MB at the 64^3 benchmark shape) normally enter as VMEM input
+# blocks, so the Pallas prologue copies them HBM->VMEM *before* grid
+# cell 0 runs — fully exposed HBM traffic (the stage-0 ablation block,
+# scratch/tpu_fused3d_v5_ablate.py, is ~27% of the kernel). kany passes
+# them as pl.ANY operands instead and the kernel itself DMAs them into
+# persistent VMEM scratch at cell 0 — started right after the x copy,
+# waited only before the MAC — so the copy rides under the fwd-transform
+# compute. VMEM-neutral: the scratch replaces the input-block buffer.
+_KANY3D = False
+
+
+def set_fused3d_kany(on: bool) -> None:
+    """Toggles ANY-space spectra staging in the v4 kernel (A/B probes).
+    Mutually exclusive with inline spectra (inline wins when both on)."""
+    global _KANY3D
+    if bool(on) != _KANY3D:
+        _KANY3D = bool(on)
         _fused3d_call_v4.cache_clear()
 
 
@@ -701,7 +733,7 @@ def _xpack_carve(cin, h, nbhp, pp, nbd, xpack):
 
 def _make_kernel_v4(cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh, precision,
                     groups=1, mac_mode="loop", dbuf=True, inline=False,
-                    kd=0, khw=0, xpack="h"):
+                    kd=0, khw=0, xpack="h", kany=False):
     """Overlap-save-D kernel body, batch-channel edition. Logical shapes:
       x        (H, Cin*PP, 128)   packed d-pair lanes, channels stacked
                                   along the page dim (one DMA per cell)
@@ -730,6 +762,11 @@ def _make_kernel_v4(cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh, precision,
              f2m, bwr, bwi, bur, bui, g2m, twfr, twfi, twvr, twvi, w2m,
              cr2m, out_ref, tr_s, xd_s, y_s, kr_ref, ki_ref,
              *xrest) = args
+        elif kany:
+            (kr_hbm, ki_hbm,
+             f2m, bwr, bwi, bur, bui, g2m, twfr, twfi, twvr, twvi, w2m,
+             cr2m, out_ref, tr_s, xd_s, y_s, kr_ref, ki_ref, ksem,
+             *xrest) = args
         else:
             (kr_ref, ki_ref,
              f2m, bwr, bwi, bur, bui, g2m, twfr, twfi, twvr, twvi, w2m,
@@ -740,6 +777,16 @@ def _make_kernel_v4(cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh, precision,
         else:
             xst_s, dma_sem = xrest
         b = pl.program_id(0)
+
+        if kany:
+            kc_r = pltpu.make_async_copy(kr_hbm, kr_ref, ksem.at[0])
+            kc_i = pltpu.make_async_copy(ki_hbm, ki_ref, ksem.at[1])
+
+            def _start_spectra():
+                @pl.when(b == 0)
+                def _():
+                    kc_r.start()
+                    kc_i.start()
 
         if inline:
             # compute the conjugated kernel spectra ONCE (grid cell 0)
@@ -821,6 +868,11 @@ def _make_kernel_v4(cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh, precision,
 
             for c in range(cin):
                 get_dma(c).start()
+            if dbuf == "par":
+                # aggregate-bandwidth form: all waits up front, live
+                # ranges identical to the single-DMA form
+                for c in range(cin):
+                    get_dma(c).wait()
 
         dn_lead = (((1,), (0,)), ((), ()))  # (M, K) x (K, P, 128)
         dn_min3 = (((2,), (0,)), ((), ()))  # (A, B, 128) x (128, 128)
@@ -842,7 +894,11 @@ def _make_kernel_v4(cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh, precision,
                 dma_sem,
             )
             dma.start()
+            if kany:
+                _start_spectra()  # rides behind the in-flight x copy
             dma.wait()
+        elif kany:
+            _start_spectra()  # x staging handled above for this mode
         if xpack == "d0":
             lmask_x = (
                 lax.broadcasted_iota(jnp.int32, (h, pp, 128), 2) < _TW
@@ -873,7 +929,7 @@ def _make_kernel_v4(cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh, precision,
                     # rows are packed d-pairs already: one outer swap
                     xc = jnp.transpose(st, (1, 0, 2))
             else:
-                if dbuf:
+                if dbuf is True:  # "par" already waited up front
                     get_dma(c).wait()
                 xc = xd_s[pl.dslice(0, h), pl.dslice(c * pp, pp), :]
             ac = _dot(f2_, xc, dn_lead, precision)   # (2*NBHP, PP, 128)
@@ -906,6 +962,14 @@ def _make_kernel_v4(cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh, precision,
                 er + twfr_ * our - twfi_ * oui)
             xd_s[pl.dslice(r_, r_), pl.dslice(c * nbhp, nbhp), :] = (
                 ei + twfr_ * oui + twfi_ * our)
+
+        if kany:
+            # spectra landed sometime during the fwd transforms; cells
+            # b>0 reuse the persistent scratch (sequential grid cells)
+            @pl.when(b == 0)
+            def _wait_spectra():
+                kc_r.wait()
+                kc_i.wait()
 
         # pointwise frequency MAC: walk (f8, fh-chunk); j-blocks ride as
         # a vector dim, kernel row f8 broadcasts across them; every Y
@@ -1016,7 +1080,8 @@ def _make_kernel_v4(cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh, precision,
 @lru_cache(maxsize=None)
 def _fused3d_call_v4(b, cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh,
                      precision, interpret, groups=1, mac_mode="loop",
-                     dbuf=True, inline=False, kd=0, khw=0, xpack="h"):
+                     dbuf=True, inline=False, kd=0, khw=0, xpack="h",
+                     kany=False):
     if interpret and precision == "bf16x3":
         precision = "bf16x3_exact"  # see fused1d._dot3
     r_ = 8 * nbd
@@ -1035,6 +1100,18 @@ def _fused3d_call_v4(b, cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh,
         spectra_scratch = [
             pltpu.VMEM((8, pco, nbhp, 128), jnp.float32),  # kr
             pltpu.VMEM((8, pco, nbhp, 128), jnp.float32),  # ki
+        ]
+    elif kany:
+        # ANY-space spectra: the kernel DMAs them into this persistent
+        # scratch itself (same bytes the input-block buffer would take)
+        spectra_in = [
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        spectra_scratch = [
+            pltpu.VMEM((8, cpg, cout, nbhp, 128), jnp.float32),
+            pltpu.VMEM((8, cpg, cout, nbhp, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ]
     else:
         spectra_in = [spec_block(), spec_block()]
@@ -1085,7 +1162,7 @@ def _fused3d_call_v4(b, cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh,
     return pl.pallas_call(
         _make_kernel_v4(cin, cout, h, nbh, nbhp, pp, nbd, vdp, vh,
                         precision, groups, mac_mode, dbuf, inline, kd,
-                        khw, xpack),
+                        khw, xpack, kany),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (b, vh, cout * vdp, 128), jnp.float32),
@@ -1463,6 +1540,7 @@ def _fused3d_forward(x_padded, kernel, out_dhw, groups=1, spectra=None):
             inline, kd if inline else 0, kh * kw if inline else 0,
             # h2/pk produce the "h" layout; the main kernel is identical
             xpack if xpack in ("d2", "d0") else "h",
+            _KANY3D and not inline,
         )
         out = call(x, *sp_args, *mats)    # (B, VH, Cout*VDP, 128)
         out = out.reshape(b, vh, cout, vdp, 2, _TW)

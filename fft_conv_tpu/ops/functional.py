@@ -211,6 +211,17 @@ def fft_conv(
     FFT -> per-bin grouped complex matmul -> inverse FFT -> crop valid
     region with stride -> add bias.
     """
+    if signal.ndim < 3:
+        raise ValueError(
+            f"signal must be (batch, channels, *spatial) with >=1 spatial "
+            f"dim; got shape {tuple(signal.shape)}"
+        )
+    if kernel.ndim != signal.ndim:
+        raise ValueError(
+            f"kernel rank {kernel.ndim} != signal rank {signal.ndim}; "
+            f"expected (out_channels, in_channels/groups, *k) matching the "
+            f"signal's spatial rank"
+        )
     n = signal.ndim - 2
     stride_ = to_ntuple(stride, n)
     padding_ = to_ntuple(padding, n)
@@ -438,6 +449,17 @@ def fft_conv_transpose(
     zero-stuffing implements stride-upsampling plus the left full-conv pad;
     the ``padding`` argument *removes* border from the result.
     """
+    if signal.ndim < 3:
+        raise ValueError(
+            f"signal must be (batch, channels, *spatial) with >=1 spatial "
+            f"dim; got shape {tuple(signal.shape)}"
+        )
+    if kernel.ndim != signal.ndim:
+        raise ValueError(
+            f"kernel rank {kernel.ndim} != signal rank {signal.ndim}; "
+            f"expected (in_channels, out_channels/groups, *k) matching the "
+            f"signal's spatial rank"
+        )
     n = signal.ndim - 2
     stride_ = to_ntuple(stride, n)
     padding_ = to_ntuple(padding, n)

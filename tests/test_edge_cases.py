@@ -106,3 +106,17 @@ def test_auto_impl_small_kernel_stays_composed():
         np.asarray(fft_conv(sig, w, impl="auto")),
         np.asarray(fft_conv(sig, w, impl="xla")),
     )
+
+
+def test_rank_mismatch_raises():
+    """A kernel whose rank doesn't match the signal's must fail fast with
+    a clear ValueError (previously died deep in a spectral reshape)."""
+    sig = jnp.zeros((2, 3, 32, 32))
+    with pytest.raises(ValueError, match="kernel rank"):
+        fft_conv(sig, jnp.zeros((4, 3, 5, 5, 2)))
+    with pytest.raises(ValueError, match="kernel rank"):
+        fft_conv_transpose(sig, jnp.zeros((3, 4, 5)))
+    with pytest.raises(ValueError, match="batch, channels"):
+        fft_conv(jnp.zeros((3, 32)), jnp.zeros((4, 3, 5)))
+    with pytest.raises(ValueError, match="batch, channels"):
+        fft_conv_transpose(jnp.zeros((3, 32)), jnp.zeros((3, 4, 5)))

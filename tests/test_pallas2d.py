@@ -102,6 +102,31 @@ def test_fused2d_versions_and_mac_modes(version, mac_mode, groups):
     _assert_close_scaled(y, ref)
 
 
+@pytest.mark.parametrize("dbuf", [False, True])
+def test_fused2d_dbuf_matches_torch(dbuf):
+    """The ping-pong x prefetch (default on; measured -16/-18% on v5e,
+    scratch/tpu_r4_2ddbuf.py) only changes WHEN each cell's H-window
+    lands in VMEM, never the math — both settings must match the torch
+    oracle on a multi-cell (nt1>1, nt2>1) grid."""
+    import fft_conv_tpu.kernels.fused2d as f2
+
+    rng = np.random.default_rng(31)
+    sig = rng.standard_normal((2, 3, 300, 260)).astype(np.float32)
+    ker = rng.standard_normal((4, 3, 16, 16)).astype(np.float32)
+    bias = rng.standard_normal((4,)).astype(np.float32)
+    ref = TF.conv2d(torch.tensor(sig), torch.tensor(ker),
+                    torch.tensor(bias), padding=2).numpy()
+    f2.set_fused2d_dbuf(dbuf)
+    try:
+        y = fft_conv2d_fused(
+            jnp.asarray(sig), jnp.asarray(ker), jnp.asarray(bias),
+            padding=2,
+        )
+    finally:
+        f2.set_fused2d_dbuf(True)
+    _assert_close_scaled(y, ref)
+
+
 @pytest.mark.parametrize("pad", [0, 2, 5])
 def test_fused2d_transpose_matches_torch(pad):
     rng = np.random.default_rng(pad)

@@ -170,6 +170,37 @@ def test_fused3d_inline_spectra_matches_loop(groups):
     _assert_close_scaled(got, ref)
 
 
+@pytest.mark.parametrize("dbuf,kany", [(True, False), ("par", False),
+                                       (False, True)])
+def test_fused3d_staging_modes_match_torch(dbuf, kany):
+    """DMA-staging variants of the v4 kernel (per-channel x copies waited
+    in-loop / all-up-front "par", and ANY-space kernel spectra "kany" —
+    all measured slower on v5e, scratch/tpu_r4_3dkany.py, kept as
+    future-hardware toggles) only reorder HBM traffic, never the math."""
+    from fft_conv_tpu.kernels.fused3d import (
+        set_fused3d_dbuf,
+        set_fused3d_kany,
+    )
+
+    rng = np.random.default_rng(37)
+    sig = rng.standard_normal((1, 4, 20, 16, 14)).astype(np.float32)
+    ker = rng.standard_normal((4, 4, 5, 3, 3)).astype(np.float32)
+    bias = rng.standard_normal((4,)).astype(np.float32)
+    assert plan_3d(4, 4, 20, 16, 14, 5, 3, 3, 1)[0] == "v4"
+    ref = TF.conv3d(torch.tensor(sig), torch.tensor(ker),
+                    torch.tensor(bias)).numpy()
+    set_fused3d_dbuf(dbuf)
+    set_fused3d_kany(kany)
+    try:
+        got = fft_conv3d_fused(
+            jnp.asarray(sig), jnp.asarray(ker), jnp.asarray(bias)
+        )
+    finally:
+        set_fused3d_dbuf(False)
+        set_fused3d_kany(False)
+    _assert_close_scaled(got, ref)
+
+
 @pytest.mark.parametrize("xpack", ["d2", "d0", "h2", "pk"])
 @pytest.mark.parametrize("groups", [1, 2])
 def test_fused3d_xpack_matches_torch(xpack, groups):
