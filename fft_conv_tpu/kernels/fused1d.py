@@ -160,6 +160,10 @@ def _factor_consts(n1: int, n2: int, v1: int):
 #   "highest" — native f32 dots (6 MXU passes each), reference accuracy
 #   "bf16x3"  — hi/lo bf16 split, 3 bf16 passes per dot (drops lo*lo):
 #               ~2x MXU throughput at near-f32 accuracy
+#   "bf16"    — single bf16 pass per dot (f32 accumulation): 3x fewer MXU
+#               passes than bf16x3 at ~2e-3 relative error — an opt-in
+#               serving mode for error-tolerant inference; NOT within the
+#               reference 5e-5/1e-4 bar, never auto-selected
 # Default bf16x3: v5e hardware sweep 2026-08-16 across K in {256,1024,3840},
 # N in {2048,4096,8192} measured relative error ~1e-6 vs torch (abs mean
 # 2e-4 at |out|~200) — far inside the 5e-5/1e-4 bar at unit test scales —
@@ -168,14 +172,15 @@ _PRECISION_MODE = "bf16x3"
 
 
 def set_fused_precision(mode: str) -> None:
-    """Selects the fused 1D kernel's matmul precision ("highest" | "bf16x3").
+    """Selects the fused 1D kernel's matmul precision
+    ("highest" | "bf16x3" | "bf16").
 
     Per-kernel switch: the 2D and 3D kernels have their own independent
     switches (``fused2d.set_fused2d_precision``,
     ``fused3d.set_fused3d_precision``) — setting this does NOT affect them.
     """
     global _PRECISION_MODE
-    if mode not in ("highest", "bf16x3"):
+    if mode not in ("highest", "bf16x3", "bf16"):
         raise ValueError(f"unknown fused precision mode: {mode!r}")
     if mode != _PRECISION_MODE:
         _PRECISION_MODE = mode
@@ -249,6 +254,15 @@ def _dot(a, b, dn, precision):
         return _dot3(a, b, dn)
     if precision == "bf16x3_exact":
         return _dot3(a, b, dn, exact=True)
+    if precision == "bf16":
+        # single-pass bf16 dot with f32 accumulation: 3x fewer MXU passes
+        # than bf16x3 at ~2^-9 relative operand rounding — the opt-in
+        # serving mode, NOT parity-grade (see set_fused_precision)
+        return lax.dot_general(
+            a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+            dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )
     return lax.dot_general(
         a, b, dimension_numbers=dn,
         preferred_element_type=jnp.float32,

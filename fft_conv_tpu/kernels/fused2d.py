@@ -58,12 +58,13 @@ _PRECISION_2D = "bf16x3"
 
 
 def set_fused2d_precision(mode: str) -> None:
-    """Selects the 2D kernel's matmul precision ("highest" | "bf16x3").
+    """Selects the 2D kernel's matmul precision
+    ("highest" | "bf16x3" | "bf16" — see fused1d's mode notes).
 
     Independent of the 1D kernel's ``fused1d.set_fused_precision`` — each
     fused kernel has its own switch (see the precision note in README)."""
     global _PRECISION_2D
-    if mode not in ("highest", "bf16x3"):
+    if mode not in ("highest", "bf16x3", "bf16"):
         raise ValueError(f"unknown fused precision mode: {mode!r}")
     if mode != _PRECISION_2D:
         _PRECISION_2D = mode

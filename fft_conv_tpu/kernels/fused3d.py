@@ -105,12 +105,13 @@ _PRECISION_3D = "bf16x3"
 
 
 def set_fused3d_precision(mode: str) -> None:
-    """Selects the 3D kernel's matmul precision ("highest" | "bf16x3").
+    """Selects the 3D kernel's matmul precision
+    ("highest" | "bf16x3" | "bf16" — see fused1d's mode notes).
 
     Independent of the 1D/2D switches (``fused1d.set_fused_precision``,
     ``fused2d.set_fused2d_precision``)."""
     global _PRECISION_3D
-    if mode not in ("highest", "bf16x3"):
+    if mode not in ("highest", "bf16x3", "bf16"):
         raise ValueError(f"unknown fused precision mode: {mode!r}")
     if mode != _PRECISION_3D:
         _PRECISION_3D = mode

@@ -447,3 +447,32 @@ def test_fused_transpose_full_surface(stride, dilation, groups, op):
     ).numpy()
     assert y.shape == y_ref.shape
     _assert_close_scaled(y, y_ref)
+
+
+def test_fused_bf16_serving_mode():
+    """set_fused_precision("bf16") (single-pass dots, the opt-in serving
+    mode) stays within ~bf16 operand-rounding error of the reference —
+    a much looser bar than the parity-grade bf16x3/highest modes, by
+    design (see the precision-mode notes in kernels/fused1d.py)."""
+    from fft_conv_tpu.kernels.fused1d import set_fused_precision
+
+    rng = np.random.default_rng(37)
+    sig = rng.standard_normal((2, 3, 4000)).astype(np.float32)
+    w = rng.standard_normal((4, 3, 160)).astype(np.float32)
+    b = rng.standard_normal((4,)).astype(np.float32)
+    set_fused_precision("bf16")
+    try:
+        y = fft_conv1d_fused(
+            jnp.asarray(sig), jnp.asarray(w), jnp.asarray(b), padding=8
+        )
+    finally:
+        set_fused_precision("bf16x3")
+    y_ref = TF.conv1d(
+        torch.tensor(sig), torch.tensor(w), torch.tensor(b), padding=8
+    ).numpy()
+    scale = max(1.0, float(np.std(y_ref)))
+    err = np.abs(np.asarray(y) - y_ref)
+    assert err.mean() < 5e-3 * scale
+    assert err.max() < 5e-2 * scale
+    with pytest.raises(ValueError):
+        set_fused_precision("fp8")

@@ -267,3 +267,28 @@ def test_fused2d_transpose_full_surface(stride, dilation, groups, op):
     ).numpy()
     assert y.shape == y_ref.shape
     _assert_close_scaled(y, y_ref)
+
+
+def test_fused2d_bf16_serving_mode():
+    """set_fused2d_precision("bf16") stays within bf16-rounding error of
+    the reference (opt-in serving mode; loose bar by design)."""
+    from fft_conv_tpu.kernels.fused2d import set_fused2d_precision
+
+    rng = np.random.default_rng(38)
+    sig = rng.standard_normal((1, 2, 200, 180)).astype(np.float32)
+    w = rng.standard_normal((2, 2, 5, 5)).astype(np.float32)
+    b = rng.standard_normal((2,)).astype(np.float32)
+    set_fused2d_precision("bf16")
+    try:
+        y = fft_conv2d_fused(
+            jnp.asarray(sig), jnp.asarray(w), jnp.asarray(b), padding=3
+        )
+    finally:
+        set_fused2d_precision("bf16x3")
+    y_ref = TF.conv2d(
+        torch.tensor(sig), torch.tensor(w), torch.tensor(b), padding=3
+    ).numpy()
+    scale = max(1.0, float(np.std(y_ref)))
+    err = np.abs(np.asarray(y) - y_ref)
+    assert err.mean() < 5e-3 * scale
+    assert err.max() < 5e-2 * scale

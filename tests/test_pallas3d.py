@@ -310,3 +310,28 @@ def test_fused3d_transpose_impl_fused_dispatch():
 def test_fused3d_kernel_too_large_raises():
     with pytest.raises(ValueError):
         fft_conv3d_fused(jnp.ones((1, 1, 4, 4, 4)), jnp.ones((1, 1, 6, 3, 3)))
+
+
+def test_fused3d_bf16_serving_mode():
+    """set_fused3d_precision("bf16") stays within bf16-rounding error of
+    the reference (opt-in serving mode; loose bar by design)."""
+    from fft_conv_tpu.kernels.fused3d import set_fused3d_precision
+
+    rng = np.random.default_rng(39)
+    sig = rng.standard_normal((1, 4, 14, 12, 10)).astype(np.float32)
+    ker = rng.standard_normal((4, 4, 3, 3, 3)).astype(np.float32)
+    bias = rng.standard_normal((4,)).astype(np.float32)
+    set_fused3d_precision("bf16")
+    try:
+        y = fft_conv3d_fused(
+            jnp.asarray(sig), jnp.asarray(ker), jnp.asarray(bias)
+        )
+    finally:
+        set_fused3d_precision("bf16x3")
+    ref = TF.conv3d(
+        torch.tensor(sig), torch.tensor(ker), torch.tensor(bias)
+    ).numpy()
+    scale = max(1.0, float(np.std(ref)))
+    err = np.abs(np.asarray(y) - ref)
+    assert err.mean() < 5e-3 * scale
+    assert err.max() < 5e-2 * scale
