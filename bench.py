@@ -1,8 +1,13 @@
 #!/usr/bin/env python
 """Headline benchmark: fft_conv speedup vs XLA direct convolution.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "x", "vs_baseline": N}
+Output protocol (driver-survivable): after EVERY completed config this
+script prints one complete cumulative JSON record on stdout, so a tail
+capture at ANY moment — including a SIGKILL from the driver's timeout —
+holds the last known state as a parseable line. Intermediate lines carry
+``"partial": true``; the final line is the same record without it:
+
+  {"metric": ..., "value": N, "unit": "x", "vs_baseline": N, ...}
 
 value        = geometric-mean speedup of fft_conv over
                lax.conv_general_dilated across the reference benchmark
@@ -30,19 +35,85 @@ Timing uses device-side fori-loop chaining (bench/harness.py
 benchmark_fori) — host-side per-dispatch timing through the TPU tunnel is
 unreliable (block_until_ready returns early).
 
-Resilience: the axon TPU tunnel periodically wedges or drops with
-UNAVAILABLE at backend init (this ate the round-3 driver record). Backend
-init retries with bounded backoff (~6 min total), and any mid-run failure
-still emits the partial JSON (with "partial": true and the error) instead
-of a bare traceback — rc stays nonzero unless every row was measured.
+Resilience (the r3 record died at backend init, the r4 record died in a
+silent hang — both through the axon tunnel):
+  * backend init retries with bounded backoff (~6 min total);
+  * a WATCHDOG DAEMON THREAD (deadline FFTCONV_BENCH_DEADLINE_S, default
+    1020 s) emits the partial record and hard-exits if the main thread
+    wedges inside a C call (SIGALRM handlers cannot preempt those; a
+    thread can still print and _exit as long as the hang releases the
+    GIL, which the tunnel's gRPC waits do);
+  * any raised mid-run failure emits the partial record before re-raising;
+  * the persistent compile cache lives REPO-LOCAL (.jax_cache/, gitignored)
+    so repeat driver runs in the same workspace skip the ~10-30 s/config
+    Mosaic compile bill (/tmp need not survive between rounds);
+  * configs run cheapest-compile-first (1D < 2D < 3D), so rows start
+    landing on stdout within the first minutes of a cold run.
 """
 
 import json
 import math
+import os
 import sys
+import threading
 import time
 
 import numpy as np
+
+_STATE = {
+    "platform": "unknown",
+    "stage": "startup",
+    "speedups": [],
+    "details": [],
+    "shardmap_gate": "not_run",
+    "failure": None,
+    "done": False,
+}
+_EMIT_LOCK = threading.Lock()
+
+
+def _emit(partial):
+    """Print the full cumulative record as one JSON line on stdout."""
+    speedups = _STATE["speedups"]
+    value = (
+        math.exp(sum(math.log(s) for s in speedups) / len(speedups))
+        if speedups else 0.0
+    )
+    record = {
+        "metric": "fft_conv_speedup_vs_xla_direct_geomean_k>=128",
+        "value": round(value, 3),
+        "unit": "x",
+        "vs_baseline": round(value / 5.0, 3),
+        "platform": _STATE["platform"],
+        "parity_gate": "fast paths asserted against composed",
+        "shardmap_gate": _STATE["shardmap_gate"],
+        "details": _STATE["details"],
+    }
+    if partial:
+        record["partial"] = True
+        record["stage"] = _STATE["stage"]
+        if _STATE["failure"]:
+            record["error"] = _STATE["failure"]
+    with _EMIT_LOCK:
+        print(json.dumps(record), flush=True)
+
+
+def _watchdog(deadline_s: float):
+    """Daemon thread: if the run hasn't finished by the deadline, emit the
+    cumulative partial record and hard-exit 3. Survives C-level hangs
+    (tunnel gRPC waits, Mosaic compiles) that SIGALRM cannot interrupt."""
+    time.sleep(deadline_s)
+    if _STATE["done"]:
+        return
+    _STATE["failure"] = (
+        f"watchdog deadline {deadline_s:.0f}s hit at stage "
+        f"{_STATE['stage']!r}"
+    )
+    print(f"# WATCHDOG: {_STATE['failure']}", file=sys.stderr, flush=True)
+    _emit(partial=True)
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(3)
 
 
 def _init_backend(max_wait_s: float = 360.0):
@@ -50,7 +121,8 @@ def _init_backend(max_wait_s: float = 360.0):
 
     Retries UNAVAILABLE/init errors for up to ~6 minutes (the round-3
     driver bench died on the FIRST jax.devices() raise with zero retries).
-    Hangs are not recoverable here — the driver's own timeout handles those.
+    A HANG here is covered by the watchdog thread, which emits the empty
+    partial record with stage="backend_init" before exiting.
     """
     import jax
 
@@ -139,20 +211,29 @@ def _shardmap_gate(platform, rng):
 
 
 def main():
+    deadline_s = float(os.environ.get("FFTCONV_BENCH_DEADLINE_S", "1020"))
+    threading.Thread(
+        target=_watchdog, args=(deadline_s,), daemon=True
+    ).start()
+
     import jax
 
     # persistent compile cache: the fused/composed pipelines cost 5-15 s
     # each to compile; repeat runs (driver rounds, reruns after tunnel
-    # wedges) then start timing immediately
+    # wedges) then start timing immediately. REPO-LOCAL so it survives
+    # across driver rounds in the same checkout (/tmp may not).
     try:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/fft_conv_tpu_jax_cache")
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
 
+    _STATE["stage"] = "backend_init"
     devices = _init_backend()
     platform = devices[0].platform
+    _STATE["platform"] = platform
 
     import jax.numpy as jnp
 
@@ -164,7 +245,9 @@ def main():
 
     rng = np.random.default_rng(0)
 
-    # (ndim, spatial, kernel) — reference sweep points with K >= 128 elements
+    # (ndim, spatial, kernel) — reference sweep points with K >= 128
+    # elements, ordered cheapest-compile-first (1D < 2D < 3D) so rows land
+    # on stdout within minutes even on a cold cache
     configs = [
         (1, 32768, 256),
         (1, 32768, 1024),
@@ -175,30 +258,8 @@ def main():
     ]
     iters = 25 if platform == "tpu" else 3
 
-    speedups = []
-    details = []
-    failure = None
-    gate_result = {"shardmap_gate": "not_run"}
-
-    def emit(partial):
-        value = (
-            math.exp(sum(math.log(s) for s in speedups) / len(speedups))
-            if speedups else 0.0
-        )
-        record = {
-            "metric": "fft_conv_speedup_vs_xla_direct_geomean_k>=128",
-            "value": round(value, 3),
-            "unit": "x",
-            "vs_baseline": round(value / 5.0, 3),
-            "platform": platform,
-            "parity_gate": "fast paths asserted against composed",
-            "shardmap_gate": gate_result["shardmap_gate"],
-            "details": details,
-        }
-        if partial:
-            record["partial"] = True
-            record["error"] = failure
-        print(json.dumps(record), flush=True)
+    speedups = _STATE["speedups"]
+    details = _STATE["details"]
 
     try:
         for ndim, size, k in configs:
@@ -210,6 +271,7 @@ def main():
             )
             bias = jnp.asarray(rng.standard_normal((8,)).astype(np.float32))
             config_name = f"{ndim}d_L{size}_K{k}"
+            _STATE["stage"] = config_name
 
             paths = {
                 "composed": lambda s, k_, b: fft_conv(s, k_, b, impl="xla")
@@ -247,13 +309,18 @@ def main():
                     # best-of-2 full measurements at min_work_s=0.2 (the
                     # differential loop runs >=0.2 s of device work, so
                     # sub-ms rows like 1D K=256 time to convergence rather
-                    # than flapping ±15% on tunnel jitter)
-                    t = min(
+                    # than flapping ±15% on tunnel jitter); NaN = harness
+                    # gave up on a non-positive differential — drop it
+                    ts = [
                         benchmark_fori(fn, sig, ker, bias,
                                        num_iterations=iters,
                                        min_work_s=0.2).mean
                         for _ in range(2)
-                    )
+                    ]
+                    ts = [v for v in ts if math.isfinite(v) and v > 0]
+                    if not ts:
+                        raise RuntimeError("unmeasurable (NaN differential)")
+                    t = min(ts)
                 except AssertionError:
                     raise  # parity failures must sink the benchmark
                 except Exception as e:  # a slow path may not fit; keep going
@@ -274,11 +341,16 @@ def main():
                 best = "composed"
 
             direct_fn = direct_conv_fn(ndim)
-            t_direct = min(
+            t_directs = [
                 benchmark_fori(direct_fn, sig, ker, bias,
                                num_iterations=iters, min_work_s=0.2).mean
                 for _ in range(2)
-            )
+            ]
+            t_directs = [v for v in t_directs if math.isfinite(v) and v > 0]
+            if not t_directs:
+                raise RuntimeError(
+                    f"direct baseline unmeasurable for {config_name}")
+            t_direct = min(t_directs)
             speedups.append(t_direct / t_fft)
             # roofline evidence (BASELINE.md target 2): achieved_gbps is the
             # MINIMUM HBM traffic (read signal+kernel once, write output
@@ -309,21 +381,26 @@ def main():
                 row["err_max"] = float(f"{errs[1]:.3e}")
             details.append(row)
             print(f"# {details[-1]}", file=sys.stderr, flush=True)
+            # stream the cumulative record: the driver's tail now holds a
+            # parseable line no matter when (or how hard) this run dies
+            _emit(partial=True)
 
+        _STATE["stage"] = "shardmap_gate"
         try:
             gate = _shardmap_gate(platform, rng)
         except AssertionError:
             raise  # a parity mismatch under shard_map sinks the benchmark
         except Exception as e:  # infra failure: record, don't sink the rows
             gate = f"failed: {type(e).__name__}: {e}"
-        gate_result["shardmap_gate"] = gate
+        _STATE["shardmap_gate"] = gate
         print(f"# shardmap_gate: {gate}", file=sys.stderr, flush=True)
     except BaseException as e:  # noqa: BLE001 — emit partial JSON first
-        failure = f"{type(e).__name__}: {e}"
-        emit(partial=True)
+        _STATE["failure"] = f"{type(e).__name__}: {e}"
+        _emit(partial=True)
         raise
 
-    emit(partial=False)
+    _STATE["done"] = True
+    _emit(partial=False)
 
 
 if __name__ == "__main__":

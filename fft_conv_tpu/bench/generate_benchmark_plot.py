@@ -131,8 +131,11 @@ def run_sweep(
     # (or a driver re-invocation after a tunnel wedge) skips straight to
     # the measurements
     try:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/fft_conv_tpu_jax_cache")
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__)))), ".jax_cache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
@@ -164,7 +167,10 @@ def run_sweep(
         try:
             with open(checkpoint_path) as f:
                 rows = [
-                    r for r in json.load(f) if r.get("platform") == platform
+                    r for r in json.load(f)
+                    if r.get("platform") == platform
+                    # drop unmeasured (null-time) rows so resume retries them
+                    and r.get("time_mean_s") is not None
                 ]
             done = {
                 (r["config"], r["method"], r["kernel_size"]) for r in rows
@@ -199,23 +205,32 @@ def run_sweep(
                     t = benchmark_fori(
                         fn, sig, arg_k, bias,
                         num_iterations=cfg.num_iterations,
+                        min_work_s=0.2,
                     )
                     mem, mem_src = peak_memory_gib(fn, sig, arg_k, bias)
-                    rows.append(
-                        {
-                            "config": cfg.label,
-                            "method": name,
-                            "kernel_size": k,
-                            "time_mean_s": t.mean,
-                            "time_std_s": t.std,
-                            "peak_mem_gib": mem,
-                            "peak_mem_source": mem_src,
-                            "platform": platform,
-                        }
-                    )
+                    row = {
+                        "config": cfg.label,
+                        "method": name,
+                        "kernel_size": k,
+                        "time_mean_s": t.mean,
+                        "time_std_s": t.std,
+                        "peak_mem_gib": mem,
+                        "peak_mem_source": mem_src,
+                        "platform": platform,
+                    }
+                    if not np.isfinite(t.mean) or t.mean <= 0:
+                        # benchmark_fori reports NaN when even the scaled
+                        # re-measure produced a non-positive differential;
+                        # record the point as explicitly unmeasured rather
+                        # than plotting an infinite-speedup artifact
+                        row["time_mean_s"] = None
+                        row["time_std_s"] = None
+                        row["note"] = "non-positive differential; unmeasurable"
+                    rows.append(row)
+                    shown = ("   (unmeasurable)" if row["time_mean_s"] is None
+                             else f"{t.mean * 1e3:9.3f} ms ± {t.std * 1e3:.3f}")
                     print(
-                        f"{cfg.label} k={k:5d} {name:22s} "
-                        f"{t.mean * 1e3:9.3f} ms ± {t.std * 1e3:.3f}",
+                        f"{cfg.label} k={k:5d} {name:22s} {shown}",
                         flush=True,
                     )
                 except Exception as e:  # keep sweeping (reference :192-193)
@@ -257,7 +272,10 @@ def plot(rows: List[dict], out_png: str) -> None:
                 )
                 for r in rows
                 if r["config"] == cfg and r["method"] == method
+                and r.get("time_mean_s") is not None  # unmeasured points
             )
+            if not pts:
+                continue
             ks, means, stds, mems = zip(*pts)
             ax_t.errorbar(ks, means, yerr=stds, label=method, marker="o", ms=3)
             if any(m > 0 for m in mems):

@@ -226,7 +226,22 @@ def benchmark_fori(
         scaled = min(2000, int(np.ceil(min_work_s / max(per_iter, 1e-7))))
         if scaled > num_iterations:
             per_iter, spread = measure(scaled)
-    return Benchmark(float(max(per_iter, 1e-9)), float(spread))
+    if per_iter <= 0:
+        # Non-positive differential: the 2N loop timed FASTER than the N
+        # loop — tunnel jitter swamped the work term at this N. Re-measure
+        # once with the trip count scaled so the differential term is
+        # >=0.25 s of device time (same compiled loop; the count is
+        # traced). If it is STILL non-positive, report NaN: callers must
+        # record "unmeasurable", not a clamp — the old max(per_iter, 1e-9)
+        # floor wrote three infinite-speedup garbage rows into
+        # doc/benchmark_results.json (1D naive K=1, 1D transpose K=1280,
+        # 1D fft_conv K=3840).
+        scaled = min(2000, max(4 * num_iterations,
+                               int(np.ceil(0.25 / max(abs(per_iter), 1e-7)))))
+        per_iter, spread = measure(scaled)
+        if per_iter <= 0:
+            return Benchmark(float("nan"), float(spread))
+    return Benchmark(float(per_iter), float(spread))
 
 
 def _assert_almost_equal(x, y) -> bool:

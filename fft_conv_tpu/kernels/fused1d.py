@@ -256,7 +256,8 @@ def _dot(a, b, dn, precision):
         return _dot3(a, b, dn, exact=True)
     if precision == "bf16":
         # single-pass bf16 dot with f32 accumulation: 3x fewer MXU passes
-        # than bf16x3 at ~2^-9 relative operand rounding — the opt-in
+        # than bf16x3 (error figure: see the mode table above
+        # _PRECISION_MODE — one canonical statement) — the opt-in
         # serving mode, NOT parity-grade (see set_fused_precision)
         return lax.dot_general(
             a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),

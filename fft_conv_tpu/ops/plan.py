@@ -23,7 +23,11 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..utils.shapes import fft_even_shape, to_ntuple
+from ..utils.shapes import (
+    conv_transpose_output_shape,
+    fft_even_shape,
+    to_ntuple,
+)
 from . import functional as F
 from . import spectral
 from .spectral import irfftn_matmul, rfftn_matmul, spectral_contract_split
@@ -42,6 +46,7 @@ def plan_fft_conv(
     *,
     signal_spatial: Iterable[int],
     max_batch: int = 1,
+    _fused: bool = True,
 ) -> "callable":
     """Returns a jitted ``fn(signal) -> out`` with the kernel baked in.
 
@@ -63,7 +68,8 @@ def plan_fft_conv(
 
     # 1D fused fast path
     if (
-        n == 1
+        _fused
+        and n == 1
         and stride_ == (1,)
         and dilation_ == (1,)
         and groups == 1
@@ -84,7 +90,8 @@ def plan_fft_conv(
 
     # 2D fused fast path (tile kernel with baked per-tile spectra)
     if (
-        n == 2
+        _fused
+        and n == 2
         and stride_ == (1, 1)
         and dilation_ == (1, 1)
         and groups == 1
@@ -110,7 +117,8 @@ def plan_fft_conv(
 
     # 3D fused fast path (whole-volume kernel with baked spectra)
     if (
-        n == 3
+        _fused
+        and n == 3
         and stride_ == (1, 1, 1)
         and dilation_ == (1, 1, 1)
         and groups == 1
@@ -204,3 +212,111 @@ def plan_fft_conv(
         return out.astype(in_dtype)
 
     return planned
+
+
+def plan_fft_conv_transpose(
+    kernel: jax.Array,
+    bias: Optional[jax.Array] = None,
+    stride: IntOrTuple = 1,
+    padding: IntOrTuple = 0,
+    output_padding: IntOrTuple = 0,
+    dilation: IntOrTuple = 1,
+    groups: int = 1,
+    *,
+    signal_spatial: Iterable[int],
+    max_batch: int = 1,
+) -> "callable":
+    """Planned transposed convolution: ``fn(signal) -> out`` with the
+    TRANSFORMED kernel's spectra baked at plan time.
+
+    The reference treats transposed conv as fully first-class
+    (functional.py:92-176) but re-flips, re-group-swaps, re-dilates and
+    re-transforms the kernel on every call (functional.py:109-114). This
+    plan performs that whole kernel-side transform ONCE — flip spatial
+    taps, (Cin, Cout/g) -> (Cout, Cin/g), dilate — and then delegates to
+    ``plan_fft_conv`` on the stuffed full-correlation geometry, so all
+    three serving tiers (fused Pallas plans, matmul-DFT baked spectra,
+    long-axis rfftn baked spectra) apply unchanged. Per call only the
+    signal-side work runs: one interior-stuffing ``lax.pad``, the planned
+    forward transforms/contract/inverse, and a border crop.
+
+    Args match ``torch.nn.functional.conv_transpose{1,2,3}d``:
+    kernel (Cin, Cout/groups, *k), signal (B, Cin, *signal_spatial).
+    """
+    n = kernel.ndim - 2
+    stride_ = to_ntuple(stride, n)
+    padding_ = to_ntuple(padding, n)
+    output_padding_ = to_ntuple(output_padding, n)
+    dilation_ = to_ntuple(dilation, n)
+    signal_spatial = tuple(signal_spatial)
+    if len(signal_spatial) != n:
+        raise ValueError(
+            f"signal_spatial must have {n} dims, got {len(signal_spatial)}"
+        )
+    cin, cout_per_g = kernel.shape[0], kernel.shape[1]
+    if cin % groups:
+        raise ValueError(
+            f"in_channels {cin} must be divisible by groups {groups}"
+        )
+    k_spatial = kernel.shape[2:]
+
+    # kernel-side transform, done once: flip taps + swap the (Cin, Cout/g)
+    # layout to (Cout, Cin/g) + dilate — reference functional.py:109-114,
+    # the exact per-call work a plan amortizes
+    ker = jnp.flip(kernel.astype(jnp.float32),
+                   axis=tuple(range(2, kernel.ndim)))
+    ker = ker.reshape(groups, cin // groups, cout_per_g, *k_spatial)
+    ker = jnp.swapaxes(ker, 1, 2)
+    ker = ker.reshape(groups * cout_per_g, cin // groups, *k_spatial)
+    ker = F._dilate_kernel(ker, dilation_)
+    k_dil = ker.shape[2:]
+
+    out_shape = conv_transpose_output_shape(
+        signal_spatial, k_spatial, stride_, padding_, output_padding_,
+        dilation_,
+    )
+    if any(o <= 0 for o in out_shape):
+        raise ValueError(
+            f"transposed-conv output shape {out_shape} is non-positive for "
+            f"signal_spatial={signal_spatial}"
+        )
+    # stuffed full-correlation extent: left pad k_dil-1, interior stride-1,
+    # right pad k_dil-1 + output_padding; a VALID correlation on this
+    # yields out + 2*padding columns, cropped [p : p+out) below
+    full_spatial = tuple(
+        (s - 1) * t + 1 + 2 * (k - 1) + op
+        for s, t, k, op in zip(
+            signal_spatial, stride_, k_dil, output_padding_
+        )
+    )
+    # 3D keeps the fused tier off: the fused 3D transpose measured a wash
+    # vs composed on the stuffed volume (see ops/functional.py n==3
+    # transpose gate + doc/ROADMAP.md); flip both gates together
+    inner = plan_fft_conv(
+        ker, bias, stride=1, padding=0, dilation=1, groups=groups,
+        signal_spatial=full_spatial, max_batch=max_batch,
+        _fused=(n != 3),
+    )
+    stuff_cfg = [(0, 0, 0), (0, 0, 0)] + [
+        (k - 1, k - 1 + op, t - 1)
+        for k, t, op in zip(k_dil, stride_, output_padding_)
+    ]
+    crop_lo = (0, 0) + padding_
+    crop_hi_spatial = tuple(p + o for p, o in zip(padding_, out_shape))
+
+    @jax.jit
+    def planned_t(signal):
+        if signal.shape[2:] != signal_spatial:
+            raise ValueError(
+                f"plan serves spatial shape {signal_spatial}, "
+                f"got {signal.shape[2:]}"
+            )
+        if signal.shape[1] != cin:
+            raise ValueError(
+                f"plan serves in_channels {cin}, got {signal.shape[1]}"
+            )
+        x = lax.pad(signal, jnp.zeros((), signal.dtype), stuff_cfg)
+        out = inner(x)
+        return lax.slice(out, crop_lo, out.shape[:2] + crop_hi_spatial)
+
+    return planned_t

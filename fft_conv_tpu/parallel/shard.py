@@ -144,6 +144,9 @@ def fft_conv_sharded(
     # Re-checked round 4 (jax still 0.9.0): with check_vma=True the fused
     # impl now ALSO fails in forward pallas_call tracing, not just AD —
     # the flag stays off until a jax upgrade lands.
+    # Re-checked round 5 (2026-08-20, jax still 0.9.0): flipping the flag
+    # True reproduces the same "cotangent type does not match function
+    # output" TypeError in test_sharded_gradients_match — unchanged.
     return jax.shard_map(
         body, mesh=mesh,
         in_specs=(sig_spec, ker_spec, bias_spec),
@@ -231,6 +234,9 @@ def fft_conv_transpose_sharded(
     # Re-checked round 4 (jax still 0.9.0): with check_vma=True the fused
     # impl now ALSO fails in forward pallas_call tracing, not just AD —
     # the flag stays off until a jax upgrade lands.
+    # Re-checked round 5 (2026-08-20, jax still 0.9.0): flipping the flag
+    # True reproduces the same "cotangent type does not match function
+    # output" TypeError in test_sharded_gradients_match — unchanged.
     return jax.shard_map(
         body, mesh=mesh,
         in_specs=(sig_spec, ker_spec, bias_spec),

@@ -9,7 +9,7 @@ import torch.nn.functional as F
 
 import fft_conv_tpu.ops.spectral as spectral
 from fft_conv_tpu import fft_conv
-from fft_conv_tpu.ops import plan_fft_conv
+from fft_conv_tpu.ops import plan_fft_conv, plan_fft_conv_transpose
 
 from helpers import _assert_almost_equal
 
@@ -170,3 +170,75 @@ def test_plan_fft_conv3d_wide_w_blocked():
     err = np.abs(y - y_ref)
     scale = max(1.0, float(y_ref.std()))
     assert err.mean() < 5e-5 * scale and err.max() < 2e-4 * scale
+
+
+# ---------------------------------------------------------------------------
+# plan_fft_conv_transpose — baked kernel-side transform for serving
+# (reference functional.py:92-176; the flip/group-swap/dilate at :109-114 is
+# the per-call work the plan amortizes)
+
+
+def test_plan_transpose_spectral_full_arg_surface(force_matmul_dft):
+    """matmul-DFT tier: stride/padding/output_padding/dilation/groups/bias."""
+    rng = np.random.default_rng(30)
+    w = rng.standard_normal((4, 2, 5, 5)).astype(np.float32)  # (Cin, Cout/g, k)
+    b = rng.standard_normal((4,)).astype(np.float32)
+    plan = plan_fft_conv_transpose(
+        jnp.asarray(w), jnp.asarray(b), stride=2, padding=2,
+        output_padding=1, dilation=2, groups=2, signal_spatial=(20, 18),
+    )
+    sig = rng.standard_normal((2, 4, 20, 18)).astype(np.float32)
+    y_ref = F.conv_transpose2d(
+        torch.tensor(sig), torch.tensor(w), torch.tensor(b), stride=2,
+        padding=2, output_padding=1, dilation=2, groups=2,
+    ).numpy()
+    y = np.asarray(plan(jnp.asarray(sig)))
+    assert y.shape == y_ref.shape
+    _assert_almost_equal(y, y_ref)
+    with pytest.raises(ValueError):
+        plan(jnp.ones((1, 4, 16, 16)))  # shape-specialized
+    with pytest.raises(ValueError):
+        plan(jnp.ones((1, 2, 20, 18)))  # wrong in_channels
+
+
+def test_plan_transpose_long_axis():
+    """Long-axis tier: the conjugated rfftn spectrum of the TRANSFORMED
+    kernel is baked once; per call only signal transforms run."""
+    rng = np.random.default_rng(31)
+    w = rng.standard_normal((2, 3, 9)).astype(np.float32)
+    plan = plan_fft_conv_transpose(
+        jnp.asarray(w), stride=2, padding=3, signal_spatial=(2048,),
+    )
+    sig = rng.standard_normal((1, 2, 2048)).astype(np.float32)
+    y_ref = F.conv_transpose1d(
+        torch.tensor(sig), torch.tensor(w), stride=2, padding=3,
+    ).numpy()
+    y = np.asarray(plan(jnp.asarray(sig)))
+    assert y.shape == y_ref.shape
+    _assert_almost_equal(y, y_ref)
+
+
+def test_plan_transpose_matches_functional_3d(force_matmul_dft):
+    """3D tier (fused gate off, mirroring the functional auto route)."""
+    from fft_conv_tpu import fft_conv_transpose
+
+    rng = np.random.default_rng(32)
+    w = jnp.asarray(rng.standard_normal((2, 2, 3, 3, 3)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((2,)).astype(np.float32))
+    plan = plan_fft_conv_transpose(
+        w, b, stride=2, padding=1, signal_spatial=(10, 10, 10),
+    )
+    sig = jnp.asarray(
+        rng.standard_normal((1, 2, 10, 10, 10)).astype(np.float32))
+    y_ref = fft_conv_transpose(sig, w, b, stride=2, padding=1, impl="xla")
+    y = plan(sig)
+    assert y.shape == y_ref.shape
+    _assert_almost_equal(np.asarray(y), np.asarray(y_ref))
+
+
+def test_plan_transpose_validates():
+    with pytest.raises(ValueError):
+        plan_fft_conv_transpose(jnp.ones((2, 2, 3, 3)), signal_spatial=(16,))
+    with pytest.raises(ValueError):
+        plan_fft_conv_transpose(jnp.ones((3, 2, 3)), groups=2,
+                                signal_spatial=(16,))  # Cin % groups
