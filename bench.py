@@ -163,20 +163,24 @@ def direct_conv_fn(ndim):
 def _parity_errs(ref, got):
     ref = np.asarray(ref)
     got = np.asarray(got)
-    scale = max(1.0, float(np.abs(ref).max()))
+    scale = max(1.0, float(np.std(ref)))
     err = np.abs(ref - got)
     return float(err.mean()), float(err.max()), scale
 
 
 def _assert_parity(name, ref, got, config):
-    """Scale-aware two-threshold check: the fast path must match the
-    composed path on real hardware (catches Mosaic/layout miscompiles).
-    Returns (mean_err, max_err) for the JSON record."""
+    """The bf16x3 ERROR CONTRACT, asserted on real hardware: the fast path
+    must match the composed path within err_mean < 2e-5*sigma and
+    err_max < 1.2e-4*sigma, sigma = max(1, std(composed)). Same model as
+    tests/helpers._assert_close_scaled (measured on v5e: 5.4-6.0e-6 /
+    3.4-4.0e-5 per sigma, >=3x headroom — scratch/tpu_r5_bf16.py). Also
+    catches Mosaic/layout miscompiles outright. Returns (mean_err,
+    max_err) for the JSON record."""
     mean_err, max_err, scale = _parity_errs(ref, got)
-    if mean_err >= 5e-5 * scale or max_err >= 1e-4 * scale:
+    if mean_err >= 2e-5 * scale or max_err >= 1.2e-4 * scale:
         raise AssertionError(
             f"PARITY FAILURE [{config}] {name} vs composed: "
-            f"mean {mean_err:.3e} max {max_err:.3e} scale {scale:.1f}"
+            f"mean {mean_err:.3e} max {max_err:.3e} sigma {scale:.1f}"
         )
     return mean_err, max_err
 

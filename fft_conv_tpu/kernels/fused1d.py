@@ -161,9 +161,12 @@ def _factor_consts(n1: int, n2: int, v1: int):
 #   "bf16x3"  — hi/lo bf16 split, 3 bf16 passes per dot (drops lo*lo):
 #               ~2x MXU throughput at near-f32 accuracy
 #   "bf16"    — single bf16 pass per dot (f32 accumulation): 3x fewer MXU
-#               passes than bf16x3 at ~2e-3 relative error — an opt-in
-#               serving mode for error-tolerant inference; NOT within the
-#               reference 5e-5/1e-4 bar, never auto-selected
+#               passes than bf16x3 — an opt-in serving mode for
+#               error-tolerant inference; NOT within the reference
+#               5e-5/1e-4 bar, never auto-selected. MEASURED (v5e
+#               2026-08-20, scratch/tpu_r5_bf16.py, vs composed f32):
+#               err_mean ~3.3e-3*std, err_max ~2.2e-2*std, at 1.3-1.7x
+#               lower latency than bf16x3 across the 1D/2D bench configs
 # Default bf16x3: v5e hardware sweep 2026-08-16 across K in {256,1024,3840},
 # N in {2048,4096,8192} measured relative error ~1e-6 vs torch (abs mean
 # 2e-4 at |out|~200) — far inside the 5e-5/1e-4 bar at unit test scales —

@@ -56,9 +56,20 @@ def combo_id(val):
 
 
 def _assert_close_scaled(y, y_ref):
-    """Scale-aware two-threshold bar for the fast (bf16x3) paths: the
-    reference's 5e-5/1e-4 absolute bar assumes unit-scale outputs; these
-    scale by std(ref)."""
+    """bf16x3 ERROR CONTRACT (the documented relative-error model for the
+    fused default precision, asserted here and in bench.py's parity gate):
+
+        err_mean < 2e-5 * sigma      err_max < 1.2e-4 * sigma
+
+    where sigma = max(1, std(ref)). Model: bf16x3 drops the lo*lo term of
+    the hi/lo split, a ~2^-16 relative operand perturbation per product,
+    accumulated in f32 — so errors scale with the OUTPUT's magnitude
+    (sigma), not the reference's unit-scale absolute bar. MEASURED on v5e
+    (2026-08-20, scratch/tpu_r5_bf16.py, all six benchmark configs, fused
+    vs composed f32): err_mean 5.4-6.0e-6*sigma, err_max 3.4-4.0e-5*sigma
+    — the asserted bar has >=3x headroom on both thresholds. CPU interpret
+    mode (bf16x3_exact) reproduces the same split in exact f32 and sits
+    further inside the bar."""
     import numpy as _np
 
     y = _np.asarray(y)
@@ -66,5 +77,5 @@ def _assert_close_scaled(y, y_ref):
     assert y.shape == y_ref.shape, f"shape mismatch: {y.shape} vs {y_ref.shape}"
     scale = max(1.0, float(_np.std(y_ref)))
     err = _np.abs(y - y_ref)
-    assert err.mean() < 5e-5 * scale, f"mean {err.mean():.3e} scale {scale:.1f}"
-    assert err.max() < 2e-4 * scale, f"max {err.max():.3e} scale {scale:.1f}"
+    assert err.mean() < 2e-5 * scale, f"mean {err.mean():.3e} scale {scale:.1f}"
+    assert err.max() < 1.2e-4 * scale, f"max {err.max():.3e} scale {scale:.1f}"
