@@ -1433,25 +1433,30 @@ def _fused3d_forward(x_padded, kernel, out_dhw, groups=1, spectra=None):
     # width-64 blocks on a 64-kw+1 hop stacked into the batch grid dim;
     # per-block valid outputs concatenate to the full W output. Kernel
     # spectra are W-length-independent (the W DFT is always _TW-point),
-    # so all blocks share one spectra set.
+    # so all blocks share one spectra set. The LAST block is CLAMPED to
+    # end at the input's edge (uneven placement) instead of zero-padding
+    # the input out to (nwb-1)*hop + TW: overlap-save blocks may overlap
+    # freely, so its valid window simply ends exactly at the last output
+    # column. This matters most for the transposed conv's stuffed
+    # volumes — at 64^3 K=8 the old padding blew W up 78 -> 121 (43 of
+    # the second block's 64 lanes pure zeros) before the pack transposes.
     b0, nwb = b, 1
     if w > _TW:
         hop = _TW - kw + 1
         nwb = -(-ow // hop)
-        need = (nwb - 1) * hop + _TW
-        if need > w:
-            x_padded = jnp.pad(
-                x_padded, ((0, 0),) * 4 + ((0, need - w),)
-            )
+        # only the last start can exceed w - TW (need - w < hop), so the
+        # min() clamps exactly that block
+        starts = [min(i * hop, w - _TW) for i in range(nwb)]
         x_padded = jnp.stack(
             [
-                lax.slice_in_dim(x_padded, i * hop, i * hop + _TW, axis=4)
-                for i in range(nwb)
+                lax.slice_in_dim(x_padded, s, s + _TW, axis=4)
+                for s in starts
             ],
             axis=1,
         ).reshape(b * nwb, cin, d, h, _TW)
         b, w, ow_blk = b * nwb, _TW, hop
     else:
+        starts = [0]
         ow_blk = ow
 
     plan = plan_3d(cin, cout, d, h, w, kd, kh, kw, groups)
@@ -1572,7 +1577,15 @@ def _fused3d_forward(x_padded, kernel, out_dhw, groups=1, spectra=None):
     if nwb > 1:
         out = out.reshape(b0, nwb, cout, od, oh, ow_blk)
         out = jnp.transpose(out, (0, 2, 3, 4, 1, 5))
-        out = out.reshape(b0, cout, od, oh, nwb * ow_blk)[..., :ow]
+        # blocks i < nwb-1 contribute all ow_blk(=hop) columns starting
+        # at i*hop; the clamped last block's outputs start at starts[-1],
+        # so its first (nwb-1)*hop - starts[-1] columns duplicate block
+        # nwb-2's tail and are dropped
+        off = (nwb - 1) * ow_blk - starts[-1]
+        head = out[:, :, :, :, :nwb - 1].reshape(
+            b0, cout, od, oh, (nwb - 1) * ow_blk)
+        tail = out[:, :, :, :, nwb - 1, off:]
+        out = jnp.concatenate([head, tail], axis=-1)[..., :ow]
     return out
 
 

@@ -245,6 +245,8 @@ def make_call(hfold, nstack, chunk):
     )
 
 
+import os
+_ONLY = os.environ.get("DOTS_ONLY", "")
 VARIANTS = [
     ("base", (False, False, 1)),
     ("hfold", (True, False, 1)),
@@ -253,6 +255,9 @@ VARIANTS = [
     ("chunk2", (False, False, 2)),
     ("all", (True, True, 2)),
 ]
+if _ONLY:
+    keep = _ONLY.split(",")
+    VARIANTS = [v for v in VARIANTS if v[0] in keep or v[0] == "base"]
 
 ref_out = None
 for name, (hf, ns, ck) in VARIANTS:
