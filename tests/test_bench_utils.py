@@ -71,3 +71,30 @@ def test_gcd():
 def test_roofline_helpers():
     assert hbm_gbps(1e9, 1.0) == pytest.approx(1.0)
     assert fft_conv_bytes((2, 3, 100), (4, 3, 10), (2, 4, 91)) == (600 + 120 + 728) * 4
+
+
+def test_bench_py_streams_and_watchdog_survives_hangs():
+    """The driver-survivability contract of bench.py (round 5): under a
+    deadline that fires mid-run, the process must still have emitted a
+    complete cumulative JSON record on stdout (partial=true, stage named)
+    and exit 3 — a tail capture at SIGKILL time is always parseable."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, FFTCONV_BENCH_DEADLINE_S="3")
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu'); "
+         "import bench; bench.main()"],
+        cwd=root, env=env, capture_output=True, text=True, timeout=240,
+    )
+    assert proc.returncode == 3, (proc.returncode, proc.stderr[-500:])
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert lines, proc.stdout[-500:]
+    record = json.loads(lines[-1])
+    assert record["partial"] is True
+    assert record["metric"].startswith("fft_conv_speedup")
+    assert "stage" in record and "error" in record
