@@ -73,28 +73,33 @@ _EMIT_LOCK = threading.Lock()
 
 
 def _emit(partial):
-    """Print the full cumulative record as one JSON line on stdout."""
-    speedups = _STATE["speedups"]
-    value = (
-        math.exp(sum(math.log(s) for s in speedups) / len(speedups))
-        if speedups else 0.0
-    )
-    record = {
-        "metric": "fft_conv_speedup_vs_xla_direct_geomean_k>=128",
-        "value": round(value, 3),
-        "unit": "x",
-        "vs_baseline": round(value / 5.0, 3),
-        "platform": _STATE["platform"],
-        "parity_gate": "fast paths asserted against composed",
-        "shardmap_gate": _STATE["shardmap_gate"],
-        "details": _STATE["details"],
-    }
-    if partial:
-        record["partial"] = True
-        record["stage"] = _STATE["stage"]
-        if _STATE["failure"]:
-            record["error"] = _STATE["failure"]
+    """Print the full cumulative record as one JSON line on stdout.
+
+    The record is BUILT under _EMIT_LOCK — the main thread appends each
+    (speedup, row) pair under the same lock, so a watchdog-thread emit
+    always snapshots a consistent value/details pair."""
     with _EMIT_LOCK:
+        speedups = list(_STATE["speedups"])
+        details = list(_STATE["details"])
+        value = (
+            math.exp(sum(math.log(s) for s in speedups) / len(speedups))
+            if speedups else 0.0
+        )
+        record = {
+            "metric": "fft_conv_speedup_vs_xla_direct_geomean_k>=128",
+            "value": round(value, 3),
+            "unit": "x",
+            "vs_baseline": round(value / 5.0, 3),
+            "platform": _STATE["platform"],
+            "parity_gate": "fast paths asserted against composed",
+            "shardmap_gate": _STATE["shardmap_gate"],
+            "details": details,
+        }
+        if partial:
+            record["partial"] = True
+            record["stage"] = _STATE["stage"]
+            if _STATE["failure"]:
+                record["error"] = _STATE["failure"]
         print(json.dumps(record), flush=True)
 
 
@@ -227,9 +232,9 @@ def main():
     # wedges) then start timing immediately. REPO-LOCAL so it survives
     # across driver rounds in the same checkout (/tmp may not).
     try:
-        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 ".jax_cache")
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        from fft_conv_tpu.bench.harness import repo_cache_dir
+
+        jax.config.update("jax_compilation_cache_dir", repo_cache_dir())
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
@@ -342,6 +347,12 @@ def main():
                     paths["composed"], sig, ker, bias, num_iterations=iters,
                     min_work_s=0.2,
                 ).mean
+                if not (math.isfinite(t_fft) and t_fft > 0):
+                    # never let NaN into speedups/JSON (json.dumps would
+                    # emit a bare NaN token strict parsers reject, breaking
+                    # the always-parseable stdout contract)
+                    raise RuntimeError(
+                        f"composed fallback unmeasurable for {config_name}")
                 best = "composed"
 
             direct_fn = direct_conv_fn(ndim)
@@ -355,7 +366,6 @@ def main():
                 raise RuntimeError(
                     f"direct baseline unmeasurable for {config_name}")
             t_direct = min(t_directs)
-            speedups.append(t_direct / t_fft)
             # roofline evidence (BASELINE.md target 2): achieved_gbps is the
             # MINIMUM HBM traffic (read signal+kernel once, write output
             # once, f32) over the measured time — the fused pipelines keep
@@ -383,7 +393,12 @@ def main():
             if errs is not None:
                 row["err_mean"] = float(f"{errs[0]:.3e}")
                 row["err_max"] = float(f"{errs[1]:.3e}")
-            details.append(row)
+            # append both under the emit lock so a concurrently-firing
+            # watchdog can never snapshot a speedup without its row (or
+            # vice versa)
+            with _EMIT_LOCK:
+                speedups.append(t_direct / t_fft)
+                details.append(row)
             print(f"# {details[-1]}", file=sys.stderr, flush=True)
             # stream the cumulative record: the driver's tail now holds a
             # parseable line no matter when (or how hard) this run dies

@@ -131,11 +131,9 @@ def run_sweep(
     # (or a driver re-invocation after a tunnel wedge) skips straight to
     # the measurements
     try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.join(
-                os.path.dirname(os.path.dirname(os.path.dirname(
-                    os.path.abspath(__file__)))), ".jax_cache"))
+        from .harness import repo_cache_dir
+
+        jax.config.update("jax_compilation_cache_dir", repo_cache_dir())
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass

@@ -216,7 +216,8 @@ def benchmark_fori(
         spread = (np.std(t_2n) + np.std(t_n)) / iters
         return per_iter, spread
 
-    per_iter, spread = measure(num_iterations)
+    used = num_iterations
+    per_iter, spread = measure(used)
     # Sub-ms ops: N iterations of differential work can be swamped by the
     # ~ms jitter on the ~25 ms tunnel dispatch (observed: the same config
     # timed 0.025-0.177 ms across reps at N=25). Re-measure with N scaled
@@ -224,19 +225,22 @@ def benchmark_fori(
     # (same compiled loop — the trip count is traced).
     if min_work_s > 0 and per_iter * num_iterations < min_work_s:
         scaled = min(2000, int(np.ceil(min_work_s / max(per_iter, 1e-7))))
-        if scaled > num_iterations:
-            per_iter, spread = measure(scaled)
+        if scaled > used:
+            used = scaled
+            per_iter, spread = measure(used)
     if per_iter <= 0:
         # Non-positive differential: the 2N loop timed FASTER than the N
         # loop — tunnel jitter swamped the work term at this N. Re-measure
         # once with the trip count scaled so the differential term is
         # >=0.25 s of device time (same compiled loop; the count is
-        # traced). If it is STILL non-positive, report NaN: callers must
-        # record "unmeasurable", not a clamp — the old max(per_iter, 1e-9)
-        # floor wrote three infinite-speedup garbage rows into
-        # doc/benchmark_results.json (1D naive K=1, 1D transpose K=1280,
-        # 1D fft_conv K=3840).
-        scaled = min(2000, max(4 * num_iterations,
+        # traced), floored at DOUBLE the count that just failed — a noise
+        # -derived |per_iter| must not shrink the retry below the attempt
+        # it is retrying. If it is STILL non-positive, report NaN: callers
+        # must record "unmeasurable", not a clamp — the old
+        # max(per_iter, 1e-9) floor wrote three infinite-speedup garbage
+        # rows into doc/benchmark_results.json (1D naive K=1, 1D
+        # transpose K=1280, 1D fft_conv K=3840).
+        scaled = min(2000, max(2 * used,
                                int(np.ceil(0.25 / max(abs(per_iter), 1e-7)))))
         per_iter, spread = measure(scaled)
         if per_iter <= 0:
@@ -257,6 +261,19 @@ def _gcd(x: int, y: int) -> int:
     while y:
         x, y = y, x % y
     return x
+
+
+def repo_cache_dir() -> str:
+    """The repo-local persistent compile-cache dir (.jax_cache/,
+    gitignored). One definition shared by bench.py and the sweep driver
+    so the two tools can never drift onto different caches — repeat
+    driver runs in the same workspace then skip the 10-30 s/config
+    Mosaic compile bill (/tmp need not survive between rounds)."""
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache")
 
 
 def hbm_gbps(bytes_moved: int, seconds: float) -> float:

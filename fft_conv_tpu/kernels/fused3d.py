@@ -1456,7 +1456,6 @@ def _fused3d_forward(x_padded, kernel, out_dhw, groups=1, spectra=None):
         ).reshape(b * nwb, cin, d, h, _TW)
         b, w, ow_blk = b * nwb, _TW, hop
     else:
-        starts = [0]
         ow_blk = ow
 
     plan = plan_3d(cin, cout, d, h, w, kd, kh, kw, groups)
@@ -1791,7 +1790,7 @@ def fft_conv_transpose3d_fused(
     stride_ = to_ntuple(stride, 3)
     dilation_ = to_ntuple(dilation, 3)
     output_padding_ = to_ntuple(output_padding, 3)
-    cin, cout_g = kernel.shape[:2]
+    cin = kernel.shape[0]
     k_spatial = kernel.shape[2:]
     if signal.shape[1] != cin:
         raise ValueError(f"kernel Cin {cin} != signal Cin {signal.shape[1]}")
@@ -1800,12 +1799,8 @@ def fft_conv_transpose3d_fused(
             f"in_channels {cin} not divisible by groups {groups}"
         )
     # flip + group-swap (Cin, Cout/g, *K) -> (Cout, Cin/g, *K), then dilate
-    w = jnp.flip(kernel, axis=(2, 3, 4))
-    w = w.reshape(groups, cin // groups, cout_g, *k_spatial)
-    w = jnp.swapaxes(w, 1, 2).reshape(
-        groups * cout_g, cin // groups, *k_spatial
-    )
-    w = F._dilate_kernel(w, dilation_)
+    # — the shared transform (ops/functional._transpose_kernel_layout)
+    w = F._transpose_kernel_layout(kernel, groups, dilation_)
     k_dil = w.shape[2:]
     out_shape = tuple(
         (s - 1) * t - 2 * p + kd_ + op

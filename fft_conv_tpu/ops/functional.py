@@ -136,6 +136,22 @@ def _dilate_kernel(kernel: jax.Array, dilation) -> jax.Array:
     return lax.pad(kernel, jnp.zeros((), kernel.dtype), config)
 
 
+def _transpose_kernel_layout(kernel: jax.Array, groups: int,
+                             dilation_) -> jax.Array:
+    """The transposed conv's kernel-side transform, shared by the
+    composed path, the fused-3D wrapper, and the serving plan: flip the
+    spatial taps, swap the (Cin, Cout/g) group layout to (Cout, Cin/g),
+    and dilate — reference functional.py:109-114. One definition so a
+    future group-layout fix cannot diverge across the three callers."""
+    k_spatial = kernel.shape[2:]
+    kernel = jnp.flip(kernel, axis=tuple(range(2, kernel.ndim)))
+    cin, cout_per_g = kernel.shape[0], kernel.shape[1]
+    kernel = kernel.reshape(groups, cin // groups, cout_per_g, *k_spatial)
+    kernel = jnp.swapaxes(kernel, 1, 2)
+    kernel = kernel.reshape(groups * cout_per_g, cin // groups, *k_spatial)
+    return _dilate_kernel(kernel, dilation_)
+
+
 def _pad_signal(signal: jax.Array, padding, padding_mode: str) -> jax.Array:
     """Symmetric spatial padding (reference functional.py:60-62)."""
     if all(p == 0 for p in padding):
@@ -607,15 +623,7 @@ def _fft_conv_transpose(
     n = signal.ndim - 2
     k_spatial = kernel.shape[2:]
 
-    # Flip spatial taps and swap the (Cin, Cout/g) group layout to
-    # (Cout, Cin/g) — reference functional.py:109-114.
-    kernel = jnp.flip(kernel, axis=tuple(range(2, kernel.ndim)))
-    cin, cout_per_g = kernel.shape[0], kernel.shape[1]
-    kernel = kernel.reshape(groups, cin // groups, cout_per_g, *k_spatial)
-    kernel = jnp.swapaxes(kernel, 1, 2)
-    kernel = kernel.reshape(groups * cout_per_g, cin // groups, *k_spatial)
-
-    kernel = _dilate_kernel(kernel, dilation_)
+    kernel = _transpose_kernel_layout(kernel, groups, dilation_)
     k_dil = kernel.shape[2:]
 
     # Interior-stuff the signal: size (s-1)*t + 1 + (k_dil-1), elements at

@@ -253,7 +253,7 @@ def plan_fft_conv_transpose(
         raise ValueError(
             f"signal_spatial must have {n} dims, got {len(signal_spatial)}"
         )
-    cin, cout_per_g = kernel.shape[0], kernel.shape[1]
+    cin = kernel.shape[0]
     if cin % groups:
         raise ValueError(
             f"in_channels {cin} must be divisible by groups {groups}"
@@ -263,12 +263,8 @@ def plan_fft_conv_transpose(
     # kernel-side transform, done once: flip taps + swap the (Cin, Cout/g)
     # layout to (Cout, Cin/g) + dilate — reference functional.py:109-114,
     # the exact per-call work a plan amortizes
-    ker = jnp.flip(kernel.astype(jnp.float32),
-                   axis=tuple(range(2, kernel.ndim)))
-    ker = ker.reshape(groups, cin // groups, cout_per_g, *k_spatial)
-    ker = jnp.swapaxes(ker, 1, 2)
-    ker = ker.reshape(groups * cout_per_g, cin // groups, *k_spatial)
-    ker = F._dilate_kernel(ker, dilation_)
+    ker = F._transpose_kernel_layout(
+        kernel.astype(jnp.float32), groups, dilation_)
     k_dil = ker.shape[2:]
 
     out_shape = conv_transpose_output_shape(
